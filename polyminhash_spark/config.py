@@ -1,0 +1,92 @@
+"""Pipeline configuration.
+
+Carries the reference's determinism contract (SURVEY.md §2 O12/O14):
+the per-(band, row) seed derivation mirrors the reference's
+``seed[h][i] = base + h*123 + i*17`` (reference src/query.cpp:427-429,
+base seed 100 at src/query.cpp:352), so "same config => same signature
+for same input" holds as a pure function with no runtime RNG.
+
+Two named configs:
+
+* ``reference_config()`` — the reference's own defaults translated to
+  set-MinHash land: num_perm = b*r with b=2 bands ("nmaps", reference
+  src/query.cpp:343), r=1 rows ("hashLength", src/main.cpp:164),
+  seed=100.  Used by the estimator-fidelity tests.
+* ``default_config()`` — the production-shaped config (num_perm=128,
+  b=32, r=4) used for the recall>=0.99 gate and the benchmarks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (SURVEY.md O10) ---
+    shingle_k: int = 7            # k-gram width
+    shingle_unit: str = "char"    # "char" | "token"
+    min_content_len: int = 1      # rows shorter than this are filtered (O4)
+
+    # --- MinHash signature (O12) ---
+    num_perm: int = 128
+    seed: int = 100               # reference base seed (src/query.cpp:352)
+
+    # --- LSH banding (O14): num_perm must equal bands * rows_per_band ---
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # --- verification tiers (O16/O17 + north_rule extras) ---
+    prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
+    simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
+    jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
+    top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)
+
+    # --- skew / scale controls (north_rule: explicit salting + caps) ---
+    max_bucket_size: int = 1000       # LSH bucket cap; larger buckets truncated + logged
+    salt_buckets: int = 8             # salt factor for hot-bucket pair verification
+    shuffle_partitions: int = 32
+
+    # --- misc ---
+    max_shingles_per_doc: int = 1 << 18   # distinct-shingle cap per row (memory guard)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must equal bands*rows_per_band "
+                f"({self.bands}*{self.rows_per_band})"
+            )
+        if self.shingle_unit not in ("char", "token"):
+            raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
+
+    # Reference seed derivation: seed + band*123 + row*17
+    # (reference src/query.cpp:427-429).  Permutation i belongs to band
+    # i // rows_per_band, row i % rows_per_band.
+    def perm_seed(self, i: int) -> int:
+        band, row = divmod(i, self.rows_per_band)
+        return self.seed + band * 123 + row * 17
+
+    def perm_seeds(self) -> list[int]:
+        return [self.perm_seed(i) for i in range(self.num_perm)]
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — stamped into every stage manifest so
+        a checkpoint is only reused when the producing config matches."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+def reference_config() -> DedupConfig:
+    """Reference defaults: b=2 tables ("nmaps"), r=1 hash per table
+    ("hashLength"), seed 100 (reference src/main.cpp:163-164,
+    src/query.cpp:343,352)."""
+    return DedupConfig(num_perm=2, bands=2, rows_per_band=1, seed=100)
+
+
+def default_config() -> DedupConfig:
+    return DedupConfig()

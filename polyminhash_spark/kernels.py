@@ -1,0 +1,308 @@
+"""Pure-numpy kernels — unit-testable without Spark (SURVEY.md §7).
+
+These are the compute hearts of the pipeline; the Spark layer wraps
+them in Arrow-vectorized pandas UDFs (polyminhash_spark/functions/udfs.py).
+No runtime RNG anywhere: every value is a pure function of
+(content, config), per the determinism contract the reference
+establishes with its fixed seed scheme (reference src/query.cpp:352,
+427-429 — seeds {100 + band*123 + row*17}).
+
+Kernel map to the reference (SURVEY.md §2):
+  * char_shingles / token_shingles  — O10 feature extraction (the
+    analog of the grid-cell sketch, reference src/geoutil.cpp:417-447)
+  * minhash                         — O12 MinHash kernel.  The reference's
+    rejection-sampling attempt count (src/geoutil.cpp:478-550) and
+    permutation MinHash are the same estimator family (SURVEY.md §2.3);
+    `rejection_minhash_weighted` below reproduces the reference
+    semantics for the fidelity test.
+  * simhash64                       — north_rule secondary bit-signature
+  * band_keys                       — O14 banding (b tables × r rows,
+    reference src/query.cpp:343-349, src/util.cpp:381-397)
+  * jaccard_arrays / sig_estimate   — O16/O17 verification distances
+    (reference src/geoutil.cpp:122-201)
+  * suffix_array / sa_contains      — north_rule exact-clone substring
+    verifier
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+U64 = np.uint64
+_MIX1 = U64(0xFF51AFD7ED558CCD)
+_MIX2 = U64(0xC4CEB9FE1A85EC53)
+_FNV = U64(0x100000001B3)
+_GOLDEN = U64(0x9E3779B97F4A7C15)
+_SHIFT33 = U64(33)
+EMPTY_SLOT = U64(0xFFFFFFFFFFFFFFFF)  # signature slot for an empty shingle set
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer — bijective uint64 mixer."""
+    x = x ^ (x >> _SHIFT33)
+    x = x * _MIX1
+    x = x ^ (x >> _SHIFT33)
+    x = x * _MIX2
+    x = x ^ (x >> _SHIFT33)
+    return x
+
+
+def normalize_text(text: str) -> str:
+    """Deterministic content canonicalization — the analog of the
+    reference's centroid normalization applied identically on both sides
+    of every comparison (reference src/geoutil.cpp:259-274, applied at
+    src/query.cpp:264-272 and src/main.cpp:152-160).
+
+    Must stay in lock-step with operators/normalize.py (JVM-side)."""
+    if text is None:
+        return None
+    if text.startswith("﻿"):
+        text = text[1:]
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    return text
+
+
+_MASK64 = (1 << 64) - 1
+_FNV_INT = int(_FNV)
+_GOLDEN_INT = int(_GOLDEN)
+
+
+def bytes_hash(data: bytes, seed: int = 0) -> int:
+    """FNV-style polynomial hash of a byte string, mixed. Deterministic.
+    Python-int arithmetic (only used for short strings: tokens, sub-k
+    fallbacks), wrapped mod 2^64 to match the vectorized rolling hash."""
+    h = (seed * _FNV_INT + _GOLDEN_INT) & _MASK64
+    for b in data:
+        h = (h * _FNV_INT + b) & _MASK64
+    return int(mix64(np.array([h], dtype=np.uint64))[0])
+
+
+def char_shingles(text: str, k: int, max_shingles: int = 1 << 18) -> np.ndarray:
+    """Distinct k-byte-gram hashes of utf-8 encoded text, as uint64.
+
+    Vectorized rolling polynomial: h(w) = fmix(sum_j w[j] * FNV^(k-1-j)),
+    computed with k shifted vector ops (no per-window Python loop)."""
+    data = text.encode("utf-8", errors="replace")
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        return np.array([bytes_hash(data)], dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV + arr[j : j + m]
+    h = np.unique(mix64(h))
+    if h.size > max_shingles:
+        # deterministic cap: keep smallest hashes (a uniform subsample)
+        h = np.partition(h, max_shingles)[:max_shingles]
+        h.sort()
+    return h
+
+
+def token_shingles(text: str, k: int, max_shingles: int = 1 << 18) -> np.ndarray:
+    """Distinct k-token-gram hashes (identifier/number/punct tokens)."""
+    toks = _TOKEN_RE.findall(text)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        th[i] = bytes_hash(t.encode("utf-8", errors="replace"))
+    if len(toks) < k:
+        h = th[:1].copy()
+        for j in range(1, len(toks)):
+            h = h * _FNV + th[j : j + 1]
+        return mix64(h)
+    m = len(toks) - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV + th[j : j + m]
+    h = np.unique(mix64(h))
+    if h.size > max_shingles:
+        h = np.partition(h, max_shingles)[:max_shingles]
+        h.sort()
+    return h
+
+
+def shingles_for(text: str, k: int, unit: str = "char",
+                 max_shingles: int = 1 << 18) -> np.ndarray:
+    if unit == "char":
+        return char_shingles(text, k, max_shingles)
+    return token_shingles(text, k, max_shingles)
+
+
+def mixed_seeds(seeds: list[int] | np.ndarray) -> np.ndarray:
+    """Spread the reference's small arithmetic seeds (100 + band*123 +
+    row*17) over the full 64-bit space before use as xor keys."""
+    s = np.asarray(seeds, dtype=np.uint64)
+    return mix64(s * _GOLDEN + _FNV)
+
+
+def minhash(shingles: np.ndarray, seeds_mixed: np.ndarray,
+            chunk: int = 1 << 16) -> np.ndarray:
+    """Permutation-MinHash signature: sig[i] = min over shingles of
+    fmix(x ^ seed_i).  Whole (n_shingles × num_perm) matrix per chunk —
+    the vectorized analog of the reference's per-slot sampling loop
+    (src/geoutil.cpp:478-550).  Empty set → EMPTY_SLOT sentinel."""
+    p = len(seeds_mixed)
+    if shingles.size == 0:
+        return np.full(p, EMPTY_SLOT, dtype=np.uint64)
+    out = np.full(p, EMPTY_SLOT, dtype=np.uint64)
+    for lo in range(0, shingles.size, chunk):
+        block = shingles[lo : lo + chunk]
+        y = mix64(block[:, None] ^ seeds_mixed[None, :])
+        np.minimum(out, y.min(axis=0), out=out)
+    return out
+
+
+def simhash64(shingles: np.ndarray, chunk: int = 1 << 15) -> int:
+    """64-bit SimHash of the shingle hash set: bit j set iff the j-th bit
+    is set in >= half the shingle hashes."""
+    if shingles.size == 0:
+        return 0
+    counts = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = U64(1)
+    for lo in range(0, shingles.size, chunk):
+        block = shingles[lo : lo + chunk]
+        bits = (block[:, None] >> shifts[None, :]) & one
+        counts += bits.sum(axis=0).astype(np.int64)
+    maj = (counts * 2 >= shingles.size).astype(np.uint64)
+    return int((maj << shifts).sum(dtype=np.uint64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(int(a) ^ int(b)).count("1"))
+
+
+def band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Fold each band's r signature slots into one uint64 band key.
+    AND-within-band semantics: keys equal iff all r slots equal
+    (up to hash collision) — the reference's exact full-vector bucket
+    key equality (src/util.cpp:381-397)."""
+    m = sig.reshape(bands, rows_per_band)
+    h = np.full(bands, _GOLDEN, dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = mix64(h * _FNV ^ m[:, j])
+    return h
+
+
+def sig_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Signature-space Jaccard estimate: fraction of matching slots.
+    The analog of the reference's (unused) sketch-space distances
+    (src/geoutil.cpp:144-201), used here as the cheap mid-tier filter."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def jaccard_arrays(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact set Jaccard of two distinct-element uint64 arrays — the
+    analog of exact area-Jaccard refinement (src/geoutil.cpp:122-142).
+    Both-empty convention: distance 1.0, i.e. similarity 0.0
+    (reference src/geoutil.cpp:157-160)."""
+    if a.size == 0 and b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Suffix array (doubling, numpy-vectorized) + substring containment
+# ---------------------------------------------------------------------------
+
+def suffix_array(data: bytes) -> np.ndarray:
+    """Suffix array by prefix doubling with numpy lexsort — O(n log^2 n)."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = (rank[order][1:] != rank[order][:-1]) | (
+            second[order][1:] != second[order][:-1]
+        )
+        new_rank[order] = np.concatenate(([0], np.cumsum(changed)))
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order.astype(np.int64)
+        k *= 2
+
+
+def sa_contains(text: bytes, pattern: bytes, sa: np.ndarray | None = None) -> bool:
+    """Exact substring test via suffix-array binary search."""
+    if len(pattern) == 0:
+        return True
+    if len(pattern) > len(text):
+        return False
+    if sa is None:
+        sa = suffix_array(text)
+    lo, hi = 0, len(sa)
+    m = len(pattern)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        start = int(sa[mid])
+        if text[start : start + m] < pattern:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == len(sa):
+        return False
+    start = int(sa[lo])
+    return text[start : start + m] == pattern
+
+
+def exact_clone_relation(a: str, b: str) -> str:
+    """'equal' | 'a_in_b' | 'b_in_a' | 'none' — suffix-array-backed
+    exact-clone classification for verified candidate pairs."""
+    ab, bb = a.encode("utf-8", errors="replace"), b.encode("utf-8", errors="replace")
+    if ab == bb:
+        return "equal"
+    if len(ab) < len(bb) and sa_contains(bb, ab):
+        return "a_in_b"
+    if len(bb) < len(ab) and sa_contains(ab, bb):
+        return "b_in_a"
+    return "none"
+
+
+# ---------------------------------------------------------------------------
+# Reference-fidelity kernel: rejection-sampling MinHash on weighted sets
+# ---------------------------------------------------------------------------
+
+def rejection_minhash_weighted(weights: dict[int, float], domain_size: int,
+                               seeds: list[int], max_attempts: int = 1_000_000
+                               ) -> np.ndarray:
+    """The reference's hash semantics transplanted to weighted sets:
+    per slot, a seeded dart stream draws (cell, u) uniform over the
+    global domain; the hash value is the attempt count at the first
+    accepted dart (u < weight[cell]) — reference src/geoutil.cpp:478-550
+    (seeded mt19937 at :499-503, accept test at :535-547).  Collision
+    probability between two records rises with their weighted overlap,
+    same estimator family as permutation MinHash (SURVEY.md §2.3).
+
+    Test-only kernel (used by the fidelity property test); uses Python's
+    stdlib Mersenne Twister for cross-version determinism — the same
+    generator family as the reference's std::mt19937."""
+    import random
+
+    out = np.empty(len(seeds), dtype=np.int64)
+    for i, seed in enumerate(seeds):
+        rng = random.Random(seed)
+        attempt = 0
+        while attempt < max_attempts:
+            attempt += 1
+            cell = rng.randrange(domain_size)
+            u = rng.random()
+            if u < weights.get(cell, 0.0):
+                break
+        out[i] = attempt
+    return out

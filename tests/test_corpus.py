@@ -1,0 +1,61 @@
+"""Corpus generator determinism + shape tests (FIXTURES.md F1)."""
+
+import numpy as np
+
+from polyminhash_spark.corpus import CorpusParams, generate_corpus
+from polyminhash_spark.kernels import char_shingles, jaccard_arrays, normalize_text
+
+
+def test_corpus_deterministic():
+    p = CorpusParams(n_files=100, seed=42)
+    r1, t1 = generate_corpus(p)
+    r2, t2 = generate_corpus(p)
+    assert r1 == r2 and t1 == t2
+    assert len(r1) == 100 and len(t1) == 100
+    assert generate_corpus(CorpusParams(n_files=100, seed=43))[0] != r1
+
+
+def test_corpus_schema_and_groups():
+    p = CorpusParams(n_files=200, dup_frac=0.3, seed=42)
+    rows, truth = generate_corpus(p)
+    assert set(rows[0]) == {"repo", "path", "commit", "lang", "content"}
+    # paths unique, commits 40-hex
+    assert len({(r["repo"], r["path"], r["commit"]) for r in rows}) == 200
+    assert all(len(r["commit"]) == 40 for r in rows)
+    gids = [t["true_group_id"] for t in truth if t["true_group_id"] >= 0]
+    assert len(gids) >= 0.25 * 200
+    # every dup group has >= 2 members
+    from collections import Counter
+    assert all(c >= 2 for c in Counter(gids).values())
+
+
+def test_dup_groups_have_high_jaccard_singletons_low():
+    p = CorpusParams(n_files=150, dup_frac=0.3, seed=42)
+    rows, truth = generate_corpus(p)
+    by_gid = {}
+    for r, t in zip(rows, truth):
+        by_gid.setdefault(t["true_group_id"], []).append(r["content"])
+    intra = []
+    for gid, contents in by_gid.items():
+        if gid < 0:
+            continue
+        base = char_shingles(normalize_text(contents[0]), 7)
+        for c in contents[1:]:
+            intra.append(jaccard_arrays(base, char_shingles(normalize_text(c), 7)))
+    assert intra and float(np.median(intra)) > 0.7
+    # unrelated singleton pairs: low jaccard
+    singles = [r["content"] for r, t in zip(rows, truth) if t["true_group_id"] < 0][:20]
+    inter = [
+        jaccard_arrays(char_shingles(singles[i], 7), char_shingles(singles[i + 1], 7))
+        for i in range(0, len(singles) - 1, 2)
+    ]
+    assert max(inter) < 0.5
+
+
+def test_skew_knobs():
+    p = CorpusParams(n_files=300, hot_repo_frac=0.5, license_header_frac=0.3, seed=42)
+    rows, _ = generate_corpus(p)
+    hot = sum(1 for r in rows if r["repo"] == "org0/repo0")
+    assert hot > 100
+    lic = sum(1 for r in rows if r["content"].startswith("/*\n * Copyright"))
+    assert lic > 50
