@@ -60,7 +60,7 @@ def normalize_text(text: str) -> str:
     Must stay in lock-step with operators/normalize.py (JVM-side)."""
     if text is None:
         return None
-    if text.startswith("﻿"):
+    if text.startswith("\ufeff"):
         text = text[1:]
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     return text

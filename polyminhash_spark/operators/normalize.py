@@ -1,0 +1,62 @@
+"""Normalize + id derivation — SURVEY.md O4/O5/O7.
+
+All JVM-side (regexp_replace / sha2 / filters) so Catalyst keeps the
+whole stage in codegen and pushes the validity predicates into the
+scan.  The normalization is the analog of the reference's centroid
+centering applied identically on both sides of every comparison
+(reference src/geoutil.cpp:259-274, src/query.cpp:264-272,
+src/main.cpp:152-160); it must stay in lock-step with
+kernels.normalize_text (used by the oracle path).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from polyminhash_spark.config import DedupConfig
+
+_BOM = "\ufeff"
+
+
+def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(repo, path, commit, lang, content) ->
+    (id, repo, path, commit, lang, content_sha, norm_content, n_chars).
+
+    * id = sha256(repo||path||commit) — the unique record id, the analog
+      of the reference's parsed string id (src/parse_geodata.cpp:22-31).
+    * content_sha = sha256(content) BEFORE normalization — the per-row
+      invariant the north_rule requires to hold input<->output.
+    * validity filter — the analog of the reference's type/validity
+      drop at parse time (src/parse_geodata.cpp:39-57).
+    """
+    return (
+        df.filter(F.col("content").isNotNull()
+                  & (F.length("content") >= cfg.min_content_len))
+        .select(
+            F.sha2(F.concat_ws(" ", "repo", "path", "commit"), 256).alias("id"),
+            "repo", "path", "commit", "lang",
+            F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("content"), "^" + _BOM, ""),
+                "\r\n|\r", "\n",
+            ).alias("norm_content"),
+            F.length("content").alias("n_chars"),
+        )
+        .withColumn("norm_sha", F.sha2(F.col("norm_content").cast("binary"), 256))
+    )
+
+
+def exact_groups(normalized: DataFrame) -> DataFrame:
+    """Exact-duplicate pre-grouping: (id, rep_id) where rep_id is the
+    MIN id among rows with identical norm_sha.
+
+    This is the engine's first skew defense (north_rule): identical
+    files — overwhelmingly the hottest LSH buckets in a source-code
+    corpus (vendored files, generated code) — are collapsed to one
+    representative BEFORE MinHash, so no LSH bucket ever contains two
+    copies of the same content.  One groupBy + one join, both on
+    norm_sha (uniform by construction: it's a cryptographic hash)."""
+    reps = normalized.groupBy("norm_sha").agg(F.min("id").alias("rep_id"))
+    return normalized.select("id", "norm_sha").join(reps, "norm_sha") \
+                     .select("id", "rep_id")

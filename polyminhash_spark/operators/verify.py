@@ -1,0 +1,71 @@
+"""Tiered candidate verification — SURVEY.md O16/O17 + north_rule
+SimHash + suffix-array tiers.
+
+Tier 1 (JVM, free): signature-estimate Jaccard = fraction of equal
+MinHash slots (`zip_with` + `aggregate`, whole-stage codegen).  The
+analog of the reference's (defined-but-unused) sketch-space distances
+(src/geoutil.cpp:144-201), promoted here to the cheap mid-tier filter.
+
+Tier 2 (JVM, free): SimHash hamming distance via bit_count(xor).
+
+Tier 3 (pandas UDF): exact set-Jaccard on shingle sets + suffix-array
+exact-clone relation — only for pairs surviving tiers 1-2, mirroring
+the reference's refine-only-bucket-collisions contract
+(src/query.cpp:128-165; README claims up to 98% pruning).
+
+Join strategy: candidates (narrow: two ids) join the signature table
+twice on id.  The signature side is large at 100 TB => these are
+shuffle hash joins on id; AQE's skew-join splits hot ids (a record in
+thousands of pairs).  Content is attached only for tier-3 survivors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from polyminhash_spark.config import DedupConfig
+from polyminhash_spark.functions.udfs import make_verify_udf
+
+
+def _attach(pairs: DataFrame, signed: DataFrame, side: str, cols: list[str]) -> DataFrame:
+    sel = signed.select(
+        F.col("id").alias(f"id_{side}"),
+        *[F.col(c).alias(f"{c}_{side}") for c in cols],
+    )
+    return pairs.join(sel, f"id_{side}")
+
+
+def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """pairs (id_a, id_b) -> verified pairs with
+    (est_jaccard, hamming, jaccard, clone, is_duplicate)."""
+    p = _attach(pairs, signed, "a", ["minhash", "simhash"])
+    p = _attach(p, signed, "b", ["minhash", "simhash"])
+
+    p = p.withColumn(
+        "est_jaccard",
+        F.expr(
+            "aggregate(zip_with(minhash_a, minhash_b, (x, y) -> "
+            "if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(minhash_a)"
+        ),
+    ).withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
+
+    survivors = p.filter(
+        (F.col("est_jaccard") >= cfg.prefilter_estimate)
+        & (F.col("hamming") <= cfg.simhash_hamming_max)
+    ).select("id_a", "id_b", "est_jaccard", "hamming")
+
+    verify = make_verify_udf(cfg)
+    s = survivors
+    s = _attach(s, signed, "a", ["norm_content"])
+    s = _attach(s, signed, "b", ["norm_content"])
+    out = s.withColumn(
+        "v", verify(F.col("id_a"), F.col("norm_content_a"),
+                    F.col("id_b"), F.col("norm_content_b"))
+    ).select(
+        "id_a", "id_b", "est_jaccard", "hamming",
+        F.col("v.jaccard").alias("jaccard"),
+        F.col("v.clone").alias("clone"),
+        (F.col("v.jaccard") >= cfg.jaccard_threshold).alias("is_duplicate"),
+    )
+    return out

@@ -1,0 +1,134 @@
+"""End-to-end dedup pipeline DAG — SURVEY.md §3 entry point A,
+re-expressed as checkpointed Spark stages:
+
+  scan -> normalize -> exact_groups -> signatures(reps) -> bands
+       -> candidates -> verify -> clusters(expand) (+ topk, + metrics)
+
+Scale design points:
+* exact_groups collapses identical normalized content to one
+  representative before any hashing — at web scale identical files are
+  both the hottest LSH buckets and wasted signature compute; after this
+  stage every LSH bucket holds distinct contents only.
+* Each stage writes through StageCatalog (resume contract: recompute
+  only when config or upstream fingerprints changed — north_rule).
+* `workdir=None` runs un-checkpointed (in-memory) for tests/bench.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polyminhash_spark.config import DedupConfig
+from polyminhash_spark.operators.bands import explode_bands
+from polyminhash_spark.operators.candidates import candidate_pairs
+from polyminhash_spark.operators.cluster import connected_components
+from polyminhash_spark.operators.normalize import exact_groups, normalize
+from polyminhash_spark.operators.signatures import add_signatures
+from polyminhash_spark.operators.topk import topk_neighbors
+from polyminhash_spark.operators.verify import verify_pairs
+from polyminhash_spark.sources.catalog import StageCatalog
+
+
+@dataclass
+class PipelineResult:
+    normalized: DataFrame     # all rows + ids + shas
+    rep_map: DataFrame        # (id, rep_id) exact-duplicate grouping
+    signed: DataFrame         # representatives with signatures
+    candidates: DataFrame     # rep-level candidate pairs
+    verified: DataFrame       # rep-level verified pairs
+    clusters: DataFrame       # (id, cluster_id) for ALL input rows
+    neighbors: DataFrame      # rep-level top-k
+    metrics: dict
+
+
+def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
+                 workdir: str | None = None, collect_metrics: bool = True
+                 ) -> PipelineResult:
+    cat = StageCatalog(spark, workdir) if workdir else None
+    ch = cfg.config_hash()
+    metrics: dict = {}
+
+    def stage(name: str, build, inputs: list[str]) -> DataFrame:
+        if cat is None:
+            return build()
+        fps = [cat.fingerprint(i) or i for i in inputs]
+        cached = cat.load_if_valid(name, ch, fps)
+        if cached is not None:
+            metrics[f"{name}_resumed"] = True
+            return cached
+        return cat.write_stage(name, build(), ch, fps)
+
+    normalized = stage("normalized", lambda: normalize(source, cfg), ["source"])
+    rep_map = stage("exact_groups", lambda: exact_groups(normalized),
+                    ["normalized"])
+
+    def build_signatures() -> DataFrame:
+        reps = normalized.join(
+            rep_map.filter(F.col("id") == F.col("rep_id")).select("id"),
+            "id")
+        return add_signatures(reps, cfg)
+
+    signed = stage("signatures", build_signatures, ["exact_groups"])
+
+    def build_candidates() -> DataFrame:
+        bands_df = explode_bands(signed)
+        pairs, bucket_stats = candidate_pairs(bands_df, cfg.max_bucket_size)
+        if collect_metrics:
+            bs = bucket_stats.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(F.col("truncated").cast("int")).alias("n_truncated"),
+                F.max("bucket_n").alias("max_bucket"),
+            ).collect()[0]
+            metrics["n_buckets"] = int(bs["n_buckets"] or 0)
+            metrics["n_truncated_buckets"] = int(bs["n_truncated"] or 0)
+            metrics["max_bucket"] = int(bs["max_bucket"] or 0)
+        return pairs
+
+    cands = stage("candidates", build_candidates, ["signatures"])
+    verified = stage("verified", lambda: verify_pairs(cands, signed, cfg),
+                     ["candidates", "signatures"])
+
+    def build_clusters() -> DataFrame:
+        """CC over rep-level dup edges, then expansion to all rows with
+        deterministic relabeling: cluster_id = MIN full-member id."""
+        dup_edges = verified.filter(F.col("is_duplicate")).select("id_a", "id_b")
+        rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
+        rep_clusters = connected_components(dup_edges, rep_ids) \
+            .withColumnRenamed("id", "rep_id") \
+            .withColumnRenamed("cluster_id", "rep_cluster")
+        expanded = rep_map.join(rep_clusters, "rep_id") \
+                          .select("id", "rep_cluster")
+        relabel = expanded.groupBy("rep_cluster").agg(F.min("id").alias("cluster_id"))
+        return expanded.join(relabel, "rep_cluster").select("id", "cluster_id")
+
+    clusters = stage("clusters", build_clusters, ["verified", "exact_groups"])
+    neighbors = stage(
+        "neighbors", lambda: topk_neighbors(verified, cfg.top_k), ["verified"])
+
+    if collect_metrics:
+        metrics["n_records"] = normalized.count()
+        metrics["n_reps"] = signed.count()
+        metrics["n_candidates"] = cands.count()
+        metrics["n_verified"] = verified.count()
+        metrics["n_dup_pairs"] = verified.filter(F.col("is_duplicate")).count()
+        total = metrics["n_reps"] * (metrics["n_reps"] - 1) / 2
+        metrics["pruning_ratio"] = (
+            1.0 - metrics["n_candidates"] / total if total else 0.0)
+
+    return PipelineResult(
+        normalized=normalized, rep_map=rep_map, signed=signed,
+        candidates=cands, verified=verified, clusters=clusters,
+        neighbors=neighbors, metrics=metrics,
+    )
+
+
+def dedup_output(result: PipelineResult) -> DataFrame:
+    """Final user-facing table: every input row + its cluster assignment
+    + the content sha256 (per-row invariant, north_rule)."""
+    return result.normalized.select(
+        "id", "repo", "path", "commit", "lang", "content_sha", "n_chars"
+    ).join(result.clusters, "id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("id")))
