@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full numpy-kernel dedup pipeline on the
+                  sf0.001 documents table (mapped to the input_hint
+                  schema), returning the cluster assignment table.
+queries()       — one entry per implemented operator (SURVEY.md §2):
+                  the SQL-mirror formulations (cross-engine-identical
+                  arithmetic, see polyminhash_spark/plans/sql_mirror.py)
+                  plus DataFrame-native operators (connected components)
+                  checked against a DuckDB recursive-CTE oracle, plus
+                  rows-only entries for the production pandas-UDF path.
+oracle_sql()    — DuckDB equivalents for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -13,26 +18,106 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_TABLES = ("region nation customer supplier part orders lineitem "
+           "events documents embeddings").split()
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table to the input_hint schema."""
+    import pyspark.sql.functions as F
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import dedup_output, run_pipeline
+
+    src = _docs_as_corpus(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+    return dedup_output(res)
+
+
+def _sql_query(name: str):
+    from polyminhash_spark.plans import sql_mirror as M
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(M.spark_sql(name))
+
+    return run
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native connected components (alternating large/small
+    star, operators/cluster.py) over the SQL-mirror dup pairs — the
+    DuckDB oracle computes the same components with a recursive CTE."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.operators.cluster import connected_components
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    pairs = spark.sql(M.dup_pairs_sql(M.SPARK)) \
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    all_ids = spark.sql(
+        "SELECT doc_id AS id FROM documents "
+        "WHERE text IS NOT NULL AND length(text) >= 1")
+    cc = connected_components(pairs, all_ids)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production pandas-UDF pipeline end-to-end (rows-only check: the
+    numpy MinHash kernels are not SQL-expressible; their correctness
+    gate is the pytest brute-force oracle)."""
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import dedup_output, run_pipeline
+
+    src = _docs_as_corpus(spark, sf_dir)
+    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+    return dedup_output(res).select("id", "repo", "path", "lang",
+                                    "content_sha", "cluster_id")
+
+
+def _pipeline_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production top-k neighbor output (rows-only)."""
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import run_pipeline
+
+    src = _docs_as_corpus(spark, sf_dir)
+    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+    return res.neighbors
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from polyminhash_spark.plans import sql_mirror as M
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {n: _sql_query(n) for n in M.QUERIES}
+    out["cluster_labels"] = _cluster_labels
+    out["pipeline_clusters"] = _pipeline_clusters
+    out["pipeline_neighbors"] = _pipeline_neighbors
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from polyminhash_spark.plans import sql_mirror as M
+
+    out = {n: M.duck_sql(n) for n in M.QUERIES}
+    out["cluster_labels"] = M.cc_oracle_duck()
+    # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
+    # SQL-expressible — rows-only check (gate lives in tests/).
+    return out

@@ -1,0 +1,532 @@
+"""SQL-mirror of the dedup pipeline, rendered in two dialects.
+
+Each operator from SURVEY.md §2 gets a declarative SQL formulation whose
+arithmetic is EXACTLY reproducible in both Spark SQL and DuckDB:
+
+* gram hash  h15(x) = first 15 hex chars of md5(x) as bigint
+             (Spark `conv(substr(md5(x),1,15),16,10)` ==
+              DuckDB `cast('0x'||substr(md5(x),1,15) as bigint)`)
+* minhash_p  = min over grams of ((2*s_p+1) * (h15 % M) + s_p) % M,
+             M = 1000000007, s_p = 100 + band*123 + row*17 — the
+             reference's seed derivation (src/query.cpp:352,427-429)
+             carried into the SQL mirror
+* band_key   = (mh_row0 * 1000003 + mh_row1) % 9007199254740881
+
+The production pipeline uses the fast numpy kernels; this mirror is the
+driver-facing correctness gate (queries()/oracle_sql() contract): the
+same logical operator computed twice, by Catalyst and by DuckDB, must
+agree bit-for-bit.  Integer outputs everywhere floats would risk
+rounding divergence (floor(x*1e6) instead of round).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# mirror config: small num_perm so the SQL stays tractable at sf0.01
+K = 8          # char-gram width
+P = 8          # permutations
+B = 4          # bands
+R = 2          # rows per band
+MOD = 1000000007
+BAND_MOD = 9007199254740881
+SEED = 100     # reference base seed
+BF_SUBSET = 150        # brute-force oracle subset bound (doc_id < BF_SUBSET)
+DUP_THRESHOLD_NUM = 2  # dup iff 2*inter >= union  (jaccard >= 0.5)
+EMB_QUERIES = 120      # embedding queries subset (vec_id < EMB_QUERIES)
+EMB_K = 5
+N_PLANES = 8
+
+
+def seed_for(p: int) -> int:
+    band, row = divmod(p, R)
+    return SEED + band * 123 + row * 17
+
+
+class Dialect:
+    def __init__(self, spark: bool):
+        self.spark = spark
+
+    def h15(self, e: str) -> str:
+        if self.spark:
+            return f"cast(conv(substr(md5({e}),1,15),16,10) as bigint)"
+        return f"cast('0x' || substr(md5({e}),1,15) as bigint)"
+
+    def grams(self, t: str) -> str:
+        """distinct k-grams of a string (whole string if shorter than K)."""
+        if self.spark:
+            inner = (f"transform(sequence(1, greatest(length({t})-{K-1}, 1)),"
+                     f" i -> substr({t}, i, {K}))")
+            return f"array_distinct({inner})"
+        inner = (f"[substr({t}, i, {K}) for i in "
+                 f"range(1, greatest(length({t})-{K-1}, 1) + 1)]")
+        return f"list_distinct({inner})"
+
+    def size(self, e: str) -> str:
+        return f"size({e})" if self.spark else f"len({e})"
+
+    def intersect(self, a: str, b: str) -> str:
+        return (f"array_intersect({a}, {b})" if self.spark
+                else f"list_intersect({a}, {b})")
+
+    def explode(self, e: str) -> str:
+        return f"explode({e})" if self.spark else f"unnest({e})"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"({a} div {b})" if self.spark else f"({a} // {b})"
+
+    def shr(self, e: str, j: int) -> str:
+        return f"shiftright({e}, {j})" if self.spark else f"({e} >> {j})"
+
+    def rx(self, pattern: str) -> str:
+        """regex literal: Spark SQL string literals eat backslashes."""
+        return "'" + (pattern.replace("\\", "\\\\") if self.spark else pattern) + "'"
+
+    def rx_count(self, text: str, pattern: str) -> str:
+        """count of non-overlapping full-pattern matches.  Spark's
+        regexp_extract_all defaults to group 1; pass 0 explicitly."""
+        pat = self.rx(pattern)
+        if self.spark:
+            return f"size(regexp_extract_all({text}, {pat}, 0))"
+        return f"len(regexp_extract_all({text}, {pat}))"
+
+    def percentile(self, e: str, q: float) -> str:
+        if self.spark:
+            return f"percentile({e}, {q})"
+        return f"cast(quantile_cont({e}, {q}) as double)"
+
+    def norm_text(self, t: str) -> str:
+        if self.spark:
+            return f"regexp_replace({t}, '\\r\\n|\\r', '\\n')"
+        return f"regexp_replace({t}, '\r\n|\r', '\n', 'g')"
+
+    def sha256hex(self, t: str) -> str:
+        if self.spark:
+            return f"sha2(cast({t} as binary), 256)"
+        return f"sha256({t})"
+
+
+# ---------------------------------------------------------------------------
+# shared CTE bodies
+# ---------------------------------------------------------------------------
+
+def cte_docs(d: Dialect) -> str:
+    return (f"docs AS (SELECT doc_id, lang, n_chars, "
+            f"{d.norm_text('text')} AS text FROM documents "
+            f"WHERE text IS NOT NULL AND length(text) >= 1)")
+
+
+def cte_grams(d: Dialect) -> str:
+    return f"grams AS (SELECT doc_id, {d.grams('text')} AS gs FROM docs)"
+
+
+def cte_ghash(d: Dialect) -> str:
+    if d.spark:
+        return ("ghash AS (SELECT doc_id, "
+                f"{d.h15('gram')} AS h FROM grams "
+                "LATERAL VIEW explode(gs) t AS gram)")
+    return (f"ghash AS (SELECT doc_id, {d.h15('gram')} AS h "
+            "FROM (SELECT doc_id, unnest(gs) AS gram FROM grams))")
+
+
+def cte_perms(d: Dialect) -> str:
+    rows = ", ".join(f"({p}, {seed_for(p)})" for p in range(P))
+    return f"perms(p, s) AS (VALUES {rows})"
+
+
+def cte_minhash(d: Dialect) -> str:
+    return (
+        "mh AS (SELECT doc_id, p, "
+        f"MIN(((2*s+1) * (h % {MOD}) + s) % {MOD}) AS mh "
+        "FROM ghash CROSS JOIN perms GROUP BY doc_id, p)"
+    )
+
+
+def cte_bands(d: Dialect) -> str:
+    return (
+        "bk AS (SELECT doc_id, band, "
+        f"(MAX(CASE WHEN r = 0 THEN mh END) * 1000003 "
+        f" + MAX(CASE WHEN r = 1 THEN mh END)) % {BAND_MOD} AS band_key "
+        f"FROM (SELECT doc_id, {d.idiv('p', R)} AS band, p % {R} AS r, mh FROM mh) x "
+        "GROUP BY doc_id, band)"
+    )
+
+
+def cte_cands(d: Dialect) -> str:
+    return (
+        "cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)"
+    )
+
+
+def cte_verify(d: Dialect) -> str:
+    return (
+        "verify AS (SELECT doc_a, doc_b, inter_n, "
+        "na + nb - inter_n AS union_n FROM ("
+        "SELECT c.doc_a, c.doc_b, "
+        f"cast({d.size(d.intersect('ga.gs', 'gb.gs'))} as bigint) AS inter_n, "
+        f"cast({d.size('ga.gs')} as bigint) AS na, "
+        f"cast({d.size('gb.gs')} as bigint) AS nb "
+        "FROM cands c JOIN grams ga ON ga.doc_id = c.doc_a "
+        "JOIN grams gb ON gb.doc_id = c.doc_b) t)"
+    )
+
+
+PIPE = "\n, ".join  # CTE joiner
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + PIPE(list(ctes)) + "\n"
+
+
+def full_chain(d: Dialect) -> list[str]:
+    return [cte_docs(d), cte_grams(d), cte_ghash(d), cte_perms(d),
+            cte_minhash(d), cte_bands(d), cte_cands(d), cte_verify(d)]
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (spark_sql, duck_sql) via render on both dialects
+# ---------------------------------------------------------------------------
+
+def q_scan_filter(d: Dialect) -> str:
+    return (
+        "SELECT doc_id, lang, cast(n_chars as bigint) AS n_chars "
+        "FROM documents WHERE text IS NOT NULL AND n_chars >= 100 "
+        "AND lang IN ('en','de','fr') ORDER BY doc_id"
+    )
+
+
+def q_normalize_sha(d: Dialect) -> str:
+    return _with(cte_docs(d)) + (
+        f"SELECT doc_id, {d.sha256hex('text')} AS norm_sha, "
+        "cast(length(text) as bigint) AS n_norm_chars FROM docs"
+    )
+
+
+def q_global_stats(d: Dialect) -> str:
+    return (
+        "SELECT cast(count(*) as bigint) AS n_docs, "
+        "cast(min(n_chars) as bigint) AS min_chars, "
+        "cast(max(n_chars) as bigint) AS max_chars, "
+        "cast(floor(avg(n_chars) * 1000) as bigint) AS avg_chars_x1000, "
+        "cast(count(DISTINCT lang) as bigint) AS n_langs FROM documents"
+    )
+
+
+def q_shingle_stats(d: Dialect) -> str:
+    return _with(cte_docs(d), cte_grams(d)) + (
+        f"SELECT doc_id, cast({d.size('gs')} as bigint) AS n_grams FROM grams"
+    )
+
+
+def q_minhash(d: Dialect) -> str:
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d), cte_perms(d),
+                 cte_minhash(d)) + (
+        "SELECT doc_id, cast(p as bigint) AS perm, mh AS minhash_val FROM mh"
+    )
+
+
+def q_bands(d: Dialect) -> str:
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d), cte_perms(d),
+                 cte_minhash(d), cte_bands(d)) + (
+        "SELECT doc_id, cast(band as bigint) AS band, band_key FROM bk"
+    )
+
+
+def q_bucket_histogram(d: Dialect) -> str:
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d), cte_perms(d),
+                 cte_minhash(d), cte_bands(d)) + (
+        "SELECT cast(bucket_n as bigint) AS bucket_n, "
+        "cast(count(*) as bigint) AS n_buckets FROM "
+        "(SELECT band, band_key, count(*) AS bucket_n FROM bk "
+        "GROUP BY band, band_key) t GROUP BY bucket_n"
+    )
+
+
+def q_candidates(d: Dialect) -> str:
+    return _with(*full_chain(d)[:7]) + "SELECT doc_a, doc_b FROM cands"
+
+
+def q_verify(d: Dialect) -> str:
+    return _with(*full_chain(d)) + (
+        "SELECT doc_a, doc_b, inter_n, union_n FROM verify"
+    )
+
+
+def q_est_vs_exact(d: Dialect) -> str:
+    """O17 analog: signature-space slot agreement per candidate pair."""
+    return _with(*full_chain(d)) + (
+        "SELECT v.doc_a, v.doc_b, v.inter_n, v.union_n, "
+        "cast(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) as bigint) AS n_eq_slots "
+        "FROM verify v JOIN mh a ON a.doc_id = v.doc_a "
+        "JOIN mh b ON b.doc_id = v.doc_b AND b.p = a.p "
+        "GROUP BY v.doc_a, v.doc_b, v.inter_n, v.union_n"
+    )
+
+
+def _topk_tail(k: int) -> str:
+    return (
+        ", sym AS (SELECT doc_a AS query_id, doc_b AS neighbor_id, inter_n, union_n FROM verify "
+        "UNION ALL SELECT doc_b, doc_a, inter_n, union_n FROM verify)"
+        ", ranked AS (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "cast(inter_n as double)/union_n DESC, neighbor_id ASC) AS rank FROM sym) "
+        f"SELECT query_id, neighbor_id, cast(rank as bigint) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def q_topk(d: Dialect) -> str:
+    return _with(*full_chain(d)) + _topk_tail(5)
+
+
+def q_bf_topk(d: Dialect) -> str:
+    return _with(cte_docs(d), cte_grams(d)) + (
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"cast({d.size(d.intersect('a.gs','b.gs'))} as bigint) AS inter_n, "
+        f"cast({d.size('a.gs')} + {d.size('b.gs')} as bigint) AS sum_n "
+        f"FROM grams a JOIN grams b ON a.doc_id < b.doc_id "
+        f"WHERE a.doc_id < {BF_SUBSET} AND b.doc_id < {BF_SUBSET})"
+        ", verify AS (SELECT doc_a, doc_b, inter_n, sum_n - inter_n AS union_n FROM pairs)"
+        + _topk_tail(3)
+    )
+
+
+def q_eval_metrics(d: Dialect) -> str:
+    """O22: LSH dup pairs vs BF dup pairs on the subset."""
+    chain = full_chain(d)
+    return _with(*chain) + (
+        ", lsh AS (SELECT doc_a, doc_b FROM verify "
+        f"WHERE 2*inter_n >= union_n AND doc_a < {BF_SUBSET} AND doc_b < {BF_SUBSET})"
+        ", bfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"cast({d.size(d.intersect('a.gs','b.gs'))} as bigint) AS inter_n, "
+        f"cast({d.size('a.gs')} + {d.size('b.gs')} as bigint) AS sum_n "
+        f"FROM grams a JOIN grams b ON a.doc_id < b.doc_id "
+        f"WHERE a.doc_id < {BF_SUBSET} AND b.doc_id < {BF_SUBSET})"
+        ", bf AS (SELECT doc_a, doc_b FROM bfp WHERE 2*inter_n >= sum_n - inter_n) "
+        "SELECT cast((SELECT count(*) FROM lsh) as bigint) AS n_lsh, "
+        "cast((SELECT count(*) FROM bf) as bigint) AS n_bf, "
+        "cast((SELECT count(*) FROM lsh JOIN bf USING (doc_a, doc_b)) as bigint) AS n_matched"
+    )
+
+
+def q_recall1_stats(d: Dialect) -> str:
+    """O23: similarity stats of each doc's best neighbor (subset BF)."""
+    return _with(cte_docs(d), cte_grams(d)) + (
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"cast({d.size(d.intersect('a.gs','b.gs'))} as bigint) AS inter_n, "
+        f"cast({d.size('a.gs')} + {d.size('b.gs')} as bigint) AS sum_n "
+        f"FROM grams a JOIN grams b ON a.doc_id < b.doc_id "
+        f"WHERE a.doc_id < {BF_SUBSET} AND b.doc_id < {BF_SUBSET})"
+        ", sym AS (SELECT doc_a AS query_id, doc_b AS neighbor_id, "
+        "cast(inter_n as double)/(sum_n - inter_n) AS sim FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a, cast(inter_n as double)/(sum_n - inter_n) FROM pairs)"
+        ", best AS (SELECT query_id, max(sim) AS sim FROM sym GROUP BY query_id) "
+        "SELECT cast(floor(avg(sim) * 1000000) as bigint) AS mean_sim_x1m, "
+        f"cast(floor({d.percentile('sim', 0.5)} * 1000000) as bigint) AS median_sim_x1m, "
+        f"cast(floor({d.percentile('sim', 0.1)} * 1000000) as bigint) AS p10_sim_x1m, "
+        f"cast(floor({d.percentile('sim', 0.9)} * 1000000) as bigint) AS p90_sim_x1m, "
+        "cast(sum(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) as bigint) AS n_ge_08, "
+        "cast(count(*) as bigint) AS n_queries FROM best"
+    )
+
+
+def q_exact_dedup(d: Dialect) -> str:
+    return (
+        "SELECT cast(n_copies as bigint) AS n_copies, "
+        "cast(count(*) as bigint) AS n_groups FROM "
+        "(SELECT md5(text) AS h, count(*) AS n_copies FROM documents "
+        "WHERE text IS NOT NULL GROUP BY md5(text)) t GROUP BY n_copies"
+    )
+
+
+def q_fingerprint(d: Dialect) -> str:
+    """Rolling-hash document fingerprint = min gram hash (1-perm minhash)."""
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d)) + (
+        "SELECT doc_id, min(h) AS fingerprint FROM ghash GROUP BY doc_id"
+    )
+
+
+def q_simhash16(d: Dialect) -> str:
+    bits = []
+    for j in range(16):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ({d.shr('h', j)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << j} ELSE 0 END)")
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d)) + (
+        "SELECT doc_id, cast(" + " + ".join(bits) +
+        " as bigint) AS simhash16 FROM ghash GROUP BY doc_id"
+    )
+
+
+_STOPWORDS = {
+    "en": "the|and|of|is|to|in|that",
+    "es": "el|la|de|los|que|y|en",
+    "de": "der|die|und|das|ist|von",
+    "fr": "le|la|les|et|des|est",
+}
+
+
+def q_lang_id(d: Dialect) -> str:
+    cols = []
+    for lang, words in _STOPWORDS.items():
+        pattern = "\\b(" + words + ")\\b"
+        cols.append(f"cast({d.rx_count('text', pattern)} as bigint) AS c_{lang}")
+    guess = (
+        "CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en' "
+        "WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' "
+        "WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END"
+    )
+    return _with(cte_docs(d)) + (
+        "SELECT doc_id, c_en, c_es, c_de, c_fr, " + guess + " AS lang_guess "
+        "FROM (SELECT doc_id, " + ", ".join(cols) + " FROM docs) t"
+    )
+
+
+def q_quality_score(d: Dialect) -> str:
+    return _with(cte_docs(d)) + (
+        "SELECT doc_id, n, n_ws, n_punct, "
+        "cast(floor(1000.0 * (n - n_ws - n_punct) / n) as bigint) AS alpha_x1000 "
+        "FROM (SELECT doc_id, cast(length(text) as bigint) AS n, "
+        f"cast({d.rx_count('text', chr(92) + 's')} as bigint) AS n_ws, "
+        f"cast({d.rx_count('text', '[^A-Za-z0-9' + chr(92) + 's]')} as bigint) AS n_punct "
+        "FROM docs) t WHERE n > 0"
+    )
+
+
+def q_token_count(d: Dialect) -> str:
+    bs = chr(92)
+    wsplit = d.rx(bs + "s+")
+    if d.spark:
+        n_ws = f"size(split(trim(text), {wsplit}))"
+    else:
+        n_ws = f"len(string_split_regex(trim(text), {wsplit}))"
+    bpe = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{bs}s]"
+    return _with(cte_docs(d)) + (
+        "SELECT doc_id, "
+        f"cast(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {n_ws} END as bigint) AS n_ws_tokens, "
+        f"cast({d.rx_count('text', bpe)} as bigint) AS n_bpe_tokens "
+        "FROM docs"
+    )
+
+
+# --- embeddings ------------------------------------------------------------
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 — computed in Python with the
+    SAME arithmetic the SQL mirror uses, inlined as literals."""
+    planes = []
+    for p in range(N_PLANES):
+        w = []
+        for dim in range(64):
+            h = int(hashlib.md5(f"{p}:{dim}".encode()).hexdigest()[:15], 16)
+            w.append(1 if h % 2 == 1 else -1)
+        planes.append(w)
+    return planes
+
+
+def _dot(d: Dialect, a: str, b: str) -> str:
+    if d.spark:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                "cast(x as double) * cast(y as double)), cast(0 as double), "
+                "(s, v) -> s + v)")
+    return f"list_dot_product(cast({a} as double[]), cast({b} as double[]))"
+
+
+def q_embedding_topk(d: Dialect) -> str:
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
+    return (
+        "WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"cast(floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * 1000000) as bigint) AS sim_x1m "
+        f"FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id "
+        f"WHERE q.vec_id < {EMB_QUERIES}), "
+        "ranked AS (SELECT query_id, neighbor_id, sim_x1m, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim_x1m DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, sim_x1m, cast(rank as bigint) AS rank "
+        f"FROM ranked WHERE rank <= {EMB_K}"
+    )
+
+
+def q_embedding_lsh(d: Dialect) -> str:
+    planes = _plane_weights()
+    bits = []
+    for p, w in enumerate(planes):
+        lit = ("array(" + ",".join(str(x) for x in w) + ")") if d.spark \
+            else ("[" + ",".join(str(x) for x in w) + "]")
+        bits.append(
+            f"(CASE WHEN {_dot(d, 'embedding', lit)} >= 0 THEN {1 << p} ELSE 0 END)")
+    return (
+        "SELECT vec_id, cast(" + " + ".join(bits) + " as bigint) AS bucket "
+        "FROM embeddings"
+    )
+
+
+def q_embedding_bucket_counts(d: Dialect) -> str:
+    return ("WITH b AS (" + q_embedding_lsh(d) + ") "
+            "SELECT bucket, cast(count(*) as bigint) AS n FROM b GROUP BY bucket")
+
+
+# --- connected components (duck side: recursive CTE oracle) -----------------
+
+def dup_pairs_sql(d: Dialect) -> str:
+    """dup pairs at the mirror threshold, over the full doc set."""
+    return _with(*full_chain(d)) + (
+        "SELECT doc_a, doc_b FROM verify WHERE 2*inter_n >= union_n"
+    )
+
+
+def cc_oracle_duck() -> str:
+    d = Dialect(spark=False)
+    chain = ", ".join(full_chain(d))
+    return (
+        "WITH RECURSIVE " + chain +
+        ", dup AS (SELECT doc_a, doc_b FROM verify WHERE 2*inter_n >= union_n)"
+        ", edges AS (SELECT doc_a AS u, doc_b AS v FROM dup "
+        "UNION ALL SELECT doc_b, doc_a FROM dup)"
+        ", reach(node, label) AS ("
+        "SELECT doc_id, doc_id FROM docs "
+        "UNION "
+        "SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.node) "
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"
+    )
+
+
+SPARK = Dialect(spark=True)
+DUCK = Dialect(spark=False)
+
+QUERIES = {
+    "scan_filter": q_scan_filter,            # O1/O4
+    "normalize_sha": q_normalize_sha,        # O5/O7 + invariant
+    "global_stats": q_global_stats,          # O8
+    "shingle_stats": q_shingle_stats,        # O10
+    "minhash": q_minhash,                    # O12 (SQL mirror)
+    "bands": q_bands,                        # O14
+    "bucket_histogram": q_bucket_histogram,  # O14 group-by
+    "candidates": q_candidates,              # O15
+    "verify_pairs": q_verify,                # O16
+    "est_vs_exact": q_est_vs_exact,          # O17
+    "topk_neighbors": q_topk,                # O18/O19
+    "bf_topk": q_bf_topk,                    # O21
+    "eval_metrics": q_eval_metrics,          # O22
+    "recall1_stats": q_recall1_stats,        # O23
+    "exact_dedup": q_exact_dedup,            # exact dedup extra
+    "doc_fingerprint": q_fingerprint,        # rolling-hash fingerprint
+    "simhash16": q_simhash16,                # SimHash extra
+    "lang_id": q_lang_id,                    # text analysis extras
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "embedding_topk": q_embedding_topk,      # ANN brute force
+    "embedding_lsh_buckets": q_embedding_bucket_counts,  # ANN LSH path
+}
+
+
+def spark_sql(name: str) -> str:
+    return QUERIES[name](SPARK)
+
+
+def duck_sql(name: str) -> str:
+    return QUERIES[name](DUCK)
