@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Times (a) the headline SQL-mirror queries on the driver's sf tables and
+(b) the production dedup pipeline end-to-end on a deterministic
+synthetic corpus sized to the scale factor, reporting files/sec
+(the BASELINE.json headline metric).
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  POLYMINHASH_BENCH_FILES  override corpus size (default 200000*sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.corpus import CorpusParams, write_corpus_parquet
+    from polyminhash_spark.pipeline import run_pipeline
+    from polyminhash_spark.plans import sql_mirror as M
+    from polyminhash_spark.session import build_session
+
+    n_files = int(os.environ.get("POLYMINHASH_BENCH_FILES",
+                                 str(max(int(200_000 * sf), 500))))
+    corpus_path = f"/tmp/polyminhash_bench_corpus_{n_files}_s42.parquet"
+    if not os.path.exists(corpus_path):
+        write_corpus_parquet(corpus_path,
+                             CorpusParams(n_files=n_files, dup_frac=0.2, seed=42))
+
+    spark = build_session(app_name="polyminhash-bench",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 16))
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline SQL-mirror stages, pipelined: each stage materializes as a
+    # cached view so the timing measures THAT operator, not a recompute
+    # of the whole chain (matches how the real pipeline checkpoints).
+    def _inner(cte: str) -> str:
+        return cte[cte.index("(") + 1 : cte.rindex(")")]
+
+    d = M.SPARK
+
+    def stage_view(name: str, sql: str) -> None:
+        df = spark.sql(sql)
+        df.createOrReplaceTempView(name)
+        spark.catalog.cacheTable(name)
+        timed(name, lambda: spark.table(name).count())
+
+    stage_view("docs", _inner(M.cte_docs(d)))
+    stage_view("grams", _inner(M.cte_grams(d)))
+    stage_view("ghash", _inner(M.cte_ghash(d)))
+    spark.sql("SELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT {p} AS p, {M.seed_for(p)} AS s" for p in range(M.P)) + ") t"
+    ).createOrReplaceTempView("perms")
+    stage_view("mh", _inner(M.cte_minhash(d)))
+    stage_view("bk", _inner(M.cte_bands(d)))
+    stage_view("cands", _inner(M.cte_cands(d)))
+    stage_view("verify", _inner(M.cte_verify(d)))
+    timed("topk_neighbors",
+          lambda: spark.sql("WITH " + M._topk_tail(5).lstrip(", ")).count())
+    simhash_cols = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {j})) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16))
+    timed("simhash16", lambda: spark.sql(
+        f"SELECT doc_id, {simhash_cols} FROM ghash GROUP BY doc_id").count())
+    timed("doc_fingerprint", lambda: spark.sql(
+        "SELECT doc_id, min(h) AS fingerprint FROM ghash GROUP BY doc_id").count())
+    timed("embedding_topk", lambda: spark.sql(
+        M.spark_sql("embedding_topk")).write.format("noop").mode("overwrite").save())
+
+    # production pipeline end-to-end (numpy kernels in Arrow UDFs)
+    spark.catalog.clearCache()  # release the mirror-stage views
+    cfg = default_config()
+    src = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    res = run_pipeline(spark, src, cfg, collect_metrics=False)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    pipeline_sec = time.time() - t0
+    timings["dedup_pipeline"] = round(pipeline_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "files/sec MinHash+LSH dedup throughput (end-to-end pipeline)",
+        "value": round(n_files / pipeline_sec, 2),
+        "unit": "files/sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_files": n_files,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "pipeline_clusters": n_clusters,
+        "total_sec": total,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

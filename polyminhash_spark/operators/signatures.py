@@ -18,9 +18,16 @@ from polyminhash_spark.functions.udfs import make_signature_udf
 
 def add_signatures(normalized: DataFrame, cfg: DedupConfig) -> DataFrame:
     """normalized -> + (minhash array<bigint>, simhash bigint,
-    n_shingles int, bands array<bigint>)."""
+    n_shingles int, bands array<bigint>).
+
+    Explicit repartition before the UDF: AQE's coalescing targets
+    shuffle-byte volume, which under-parallelizes CPU-heavy pandas UDFs
+    on small-byte inputs (locally this is the difference between 1 and
+    32 cores; on a cluster it guards against the same effect after a
+    selective upstream filter)."""
     sig = make_signature_udf(cfg)
-    return normalized.withColumn("sig", sig(F.col("norm_content"))).select(
+    return normalized.repartition(cfg.shuffle_partitions) \
+        .withColumn("sig", sig(F.col("norm_content"))).select(
         "*",
         F.col("sig.minhash").alias("minhash"),
         F.col("sig.simhash").alias("simhash"),

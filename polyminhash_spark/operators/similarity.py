@@ -1,0 +1,125 @@
+"""Approximate-nearest-neighbor search over embedding columns —
+training-data-pipeline extra (brief: "similarity search").
+
+Two paths, same contract (query_id, neighbor_id, cosine, rank):
+
+* `brute_force_cosine_topk` — exact baseline.  JVM-side only:
+  `zip_with`/`aggregate` dot products inside whole-stage codegen, no
+  Python.  O(|Q|·|D|) — the oracle at test scale, and still the right
+  answer when |Q| is small and D is broadcast.
+* `lsh_cosine_topk` — the scale path: random-hyperplane LSH (sign-bit
+  buckets from deterministic ±1 planes), candidates restricted to
+  bucket co-members across `n_tables` independent tables, exact cosine
+  re-rank.  Same AND/OR banding skeleton as the MinHash text path
+  (SURVEY.md O14/O15), so the physical plan is the proven one: explode
+  -> shuffle on (table, bucket) -> pair join -> window top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0 as double), (s, v) -> s + v)")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def brute_force_cosine_topk(queries: DataFrame, data: DataFrame, k: int,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            broadcast_data: bool = False) -> DataFrame:
+    """Exact cosine top-k.  Set broadcast_data=True when the data side
+    fits in executor memory (classic replicated-queries pattern, the
+    analog of the reference's replicated query set, src/main.cpp:146)."""
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "qv")
+    qn = q.withColumnRenamed("_norm", "qnorm")
+    d = with_norm(data.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("dv")), "dv")
+    dn = d.withColumnRenamed("_norm", "dnorm")
+    if broadcast_data:
+        dn = F.broadcast(dn)
+    pairs = qn.crossJoin(dn).filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.withColumn(
+        "cosine", _dot("qv", "dv") / (F.col("qnorm") * F.col("dnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def plane_weights(n_planes: int, dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (md5 parity — no runtime RNG)."""
+    out = []
+    for p in range(n_planes):
+        w = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:15], 16)
+            w.append(1 if h % 2 == 1 else -1)
+        out.append(w)
+    return out
+
+
+def add_hyperplane_buckets(df: DataFrame, dim: int, n_planes: int = 8,
+                           n_tables: int = 4, seed: int = 0,
+                           vec_col: str = "embedding") -> DataFrame:
+    """-> + buckets array<bigint> of length n_tables (one OR-table per
+    entry; each bucket = n_planes AND-bits)."""
+    table_exprs = []
+    for t in range(n_tables):
+        planes = plane_weights(n_planes, dim, seed + t * 1000)
+        bits = []
+        for p, w in enumerate(planes):
+            lit = "array(" + ",".join(str(x) for x in w) + ")"
+            bits.append(f"(CASE WHEN {_dot_sql(vec_col, lit)} >= 0 "
+                        f"THEN {1 << p} ELSE 0 END)")
+        table_exprs.append("cast(" + " + ".join(bits) + " as bigint)")
+    return df.withColumn("buckets", F.expr("array(" + ",".join(table_exprs) + ")"))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+            "cast(y as double)), cast(0 as double), (s, v) -> s + v)")
+
+
+def lsh_cosine_topk(data: DataFrame, k: int, dim: int, n_planes: int = 8,
+                    n_tables: int = 4, seed: int = 0,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    max_bucket_size: int = 2000) -> DataFrame:
+    """Self-join ANN: candidates are bucket co-members in ANY table,
+    re-ranked by exact cosine.  Mirrors the text pipeline's physical
+    shape: explode buckets -> capped bucket pair-gen -> exact verify ->
+    window top-k."""
+    from polyminhash_spark.operators.candidates import candidate_pairs
+
+    with_b = add_hyperplane_buckets(
+        data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        dim, n_planes, n_tables, seed, vec_col="v")
+    bands_df = with_b.select("id", F.posexplode("buckets").alias("band", "band_key"))
+    pairs, _ = candidate_pairs(bands_df, max_bucket_size)
+
+    vecs = with_norm(with_b.select("id", "v"), "v")
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("_norm").alias("na"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("_norm").alias("nb"))
+    sims = (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb"))))
+    sym = sims.select(F.col("id_a").alias("query_id"),
+                      F.col("id_b").alias("neighbor_id"), "cosine") \
+        .unionByName(sims.select(F.col("id_b").alias("query_id"),
+                                 F.col("id_a").alias("neighbor_id"), "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -53,7 +53,10 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
 
     def stage(name: str, build, inputs: list[str]) -> DataFrame:
         if cat is None:
-            return build()
+            # un-checkpointed mode: cache stage outputs so downstream
+            # consumers (CC iterations, cluster expansion, final join)
+            # don't recompute the signature/verify UDF chain
+            return build().persist()
         fps = [cat.fingerprint(i) or i for i in inputs]
         cached = cat.load_if_valid(name, ch, fps)
         if cached is not None:

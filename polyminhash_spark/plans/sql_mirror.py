@@ -90,6 +90,11 @@ class Dialect:
             return f"size(regexp_extract_all({text}, {pat}, 0))"
         return f"len(regexp_extract_all({text}, {pat}))"
 
+    def hamming(self, a: str, b: str) -> str:
+        if self.spark:
+            return f"bit_count({a} ^ {b})"
+        return f"bit_count(xor({a}, {b}))"
+
     def percentile(self, e: str, q: float) -> str:
         if self.spark:
             return f"percentile({e}, {q})"
@@ -470,6 +475,59 @@ def q_embedding_bucket_counts(d: Dialect) -> str:
             "SELECT bucket, cast(count(*) as bigint) AS n FROM b GROUP BY bucket")
 
 
+def q_simhash_near_dup(d: Dialect) -> str:
+    """SimHash near-dup pairs: hamming distance <= 3 on the 16-bit
+    signature (standalone SimHash dedup path)."""
+    body = _with(cte_docs(d), cte_grams(d), cte_ghash(d))
+    bits = []
+    for j in range(16):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ({d.shr('h', j)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << j} ELSE 0 END)")
+    return body + (
+        ", sim AS (SELECT doc_id, cast(" + " + ".join(bits) +
+        " as bigint) AS s FROM ghash GROUP BY doc_id) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"cast({d.hamming('a.s', 'b.s')} as bigint) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE {d.hamming('a.s', 'b.s')} <= 3"
+    )
+
+
+def q_embedding_lsh_topk(d: Dialect) -> str:
+    """Scale-path ANN: top-k restricted to hyperplane-LSH bucket
+    co-members (the bucketed variant of q_embedding_topk)."""
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
+    return (
+        "WITH b AS (" + q_embedding_lsh(d) + "), "
+        "e AS (SELECT b.vec_id, b.bucket, m.embedding FROM b "
+        "JOIN embeddings m ON m.vec_id = b.vec_id), "
+        "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"cast(floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * 1000000) as bigint) AS sim_x1m "
+        "FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim_x1m, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim_x1m DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, sim_x1m, cast(rank as bigint) AS rank "
+        f"FROM ranked WHERE rank <= {EMB_K}"
+    )
+
+
+def q_embedding_near_dup(d: Dialect) -> str:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.99) — the
+    embedding flavor of the dedup operator set."""
+    dot = _dot(d, "a.embedding", "b.embedding")
+    na = _dot(d, "a.embedding", "a.embedding")
+    nb = _dot(d, "b.embedding", "b.embedding")
+    return (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE ({dot}) / (sqrt({na}) * sqrt({nb})) >= 0.99"
+    )
+
+
 # --- connected components (duck side: recursive CTE oracle) -----------------
 
 def dup_pairs_sql(d: Dialect) -> str:
@@ -521,6 +579,9 @@ QUERIES = {
     "token_count": q_token_count,
     "embedding_topk": q_embedding_topk,      # ANN brute force
     "embedding_lsh_buckets": q_embedding_bucket_counts,  # ANN LSH path
+    "embedding_lsh_topk": q_embedding_lsh_topk,  # bucketed ANN top-k
+    "embedding_near_dup": q_embedding_near_dup,  # cosine near-dup pairs
+    "simhash_near_dup": q_simhash_near_dup,      # SimHash dedup path
 }
 
 

@@ -1,0 +1,78 @@
+"""Structured Streaming: incremental near-duplicate detection.
+
+The reference is batch-only (SURVEY.md §2.2); this is the streaming
+face the north-star pipeline needs in production: new files arrive
+continuously and must be checked against the already-indexed corpus.
+
+Two layers:
+
+* `streaming_signatures` — stateless readStream plan: normalize ->
+  signature pandas UDF -> band explode.  Pure append-mode streaming;
+  every transformation is the same operator the batch pipeline uses,
+  so batch/stream parity is by construction.
+* `run_incremental_dedup` — foreachBatch driver: per micro-batch,
+  candidates = stream-batch bands JOIN static index bands (broadcast
+  the micro-batch side: it is small by definition), tiered verify,
+  append verified pairs to the sink.  foreachBatch is the right tool
+  because the per-batch logic is a multi-join DAG, not a single
+  streaming aggregation; checkpointLocation gives exactly-once over
+  the sink.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from polyminhash_spark.config import DedupConfig
+from polyminhash_spark.operators.bands import explode_bands
+from polyminhash_spark.operators.normalize import normalize
+from polyminhash_spark.operators.signatures import add_signatures
+from polyminhash_spark.operators.verify import verify_pairs
+
+
+def streaming_signatures(stream_src: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """input_hint-shaped streaming DataFrame -> signed streaming frame
+    (id, ..., minhash, simhash, bands).  Stateless: valid in append mode."""
+    return add_signatures(normalize(stream_src, cfg), cfg)
+
+
+def incremental_batch_dedup(batch_signed: DataFrame, static_signed: DataFrame,
+                            cfg: DedupConfig) -> DataFrame:
+    """One micro-batch of signed rows vs the static index: returns
+    verified pairs (id_a = stream id, id_b = index id, jaccard, ...)."""
+    new_bands = explode_bands(batch_signed) \
+        .withColumnRenamed("id", "id_a")
+    idx_bands = explode_bands(static_signed) \
+        .withColumnRenamed("id", "id_b")
+    pairs = (
+        F.broadcast(new_bands)
+        .join(idx_bands, ["band", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    both = batch_signed.unionByName(static_signed.select(*batch_signed.columns))
+    return verify_pairs(pairs, both, cfg)
+
+
+def run_incremental_dedup(spark: SparkSession, stream_src: DataFrame,
+                          static_signed: DataFrame, cfg: DedupConfig,
+                          sink_path: str, checkpoint_path: str,
+                          trigger_once: bool = True):
+    """Wire the streaming plan to a parquet sink via foreachBatch.
+    Returns the StreamingQuery (caller awaits termination)."""
+    signed_stream = streaming_signatures(stream_src, cfg)
+    static_cached = static_signed.persist()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_batch_dedup(batch_df, static_cached, cfg) \
+            .withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("append").parquet(sink_path)
+
+    writer = (signed_stream.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
