@@ -39,6 +39,13 @@ class DedupConfig:
     rows_per_band: int = 4
 
     # --- verification tiers (O16/O17 + north_rule extras) ---
+    # Tier-0 cut: a candidate pair must share at least this many bands.
+    # The reference surfaces a candidate on ANY band hit (OR semantics,
+    # src/query.cpp:132-162); requiring >=2 of b=32 bands keeps
+    # P(candidate | J >= 0.8) > 1 - 1e-5 (banding math: p=J^r=0.41,
+    # P(<2 hits) = (1-p)^32 + 32p(1-p)^31 ~ 1e-6) while cutting the
+    # random-collision pair volume ~30x BEFORE any signature shuffle.
+    min_band_matches: int = 2
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
     simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
     jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
@@ -84,8 +91,10 @@ class DedupConfig:
 def reference_config() -> DedupConfig:
     """Reference defaults: b=2 tables ("nmaps"), r=1 hash per table
     ("hashLength"), seed 100 (reference src/main.cpp:163-164,
-    src/query.cpp:343,352)."""
-    return DedupConfig(num_perm=2, bands=2, rows_per_band=1, seed=100)
+    src/query.cpp:343,352).  min_band_matches=1 — the reference's pure
+    OR-across-tables contract."""
+    return DedupConfig(num_perm=2, bands=2, rows_per_band=1, seed=100,
+                       min_band_matches=1)
 
 
 def default_config() -> DedupConfig:

@@ -227,4 +227,7 @@ def write_corpus_parquet(path: str, params: CorpusParams) -> None:
 
     rows, _ = generate_corpus(params)
     cols = {k: [r[k] for r in rows] for k in ("repo", "path", "commit", "lang", "content")}
-    pq.write_table(pa.table(cols), path)
+    # small row groups keep the file splittable: Spark parallelizes a
+    # parquet scan at row-group granularity, and a single giant row
+    # group serializes the whole normalize stage onto one task
+    pq.write_table(pa.table(cols), path, row_group_size=4096)

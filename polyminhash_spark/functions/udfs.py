@@ -53,6 +53,37 @@ def make_signature_udf(cfg: DedupConfig):
     return signature_udf
 
 
+def make_signature_map(cfg: DedupConfig, content_col: str = "norm_content",
+                       carry_cols: tuple = ("id",)):
+    """mapInPandas variant of the signature kernel.  A plan NODE rather
+    than a column expression — Catalyst cannot duplicate it via
+    projection collapse (a struct-returning pandas UDF referenced
+    through differing inlined child expressions gets evaluated once per
+    distinct expression; observed as double ArrowEvalPython).
+
+    Output is NARROW by default: only carry_cols + the 4 signature
+    columns go back through Arrow — content (the bulk of the bytes)
+    stays behind and is re-joined only where verification needs it."""
+    k, unit = cfg.shingle_k, cfg.shingle_unit
+    bands, rows = cfg.bands, cfg.rows_per_band
+    max_sh = cfg.max_shingles_per_doc
+    seed_list = cfg.perm_seeds()
+
+    def mapper(batches):
+        seeds = K.mixed_seeds(seed_list)
+        for pdf in batches:
+            sig, simh, counts, bkeys = K.signature_batch(
+                pdf[content_col].tolist(), k, unit, max_sh, seeds, bands, rows)
+            out = {c: pdf[c].values for c in carry_cols}
+            out["minhash"] = list(sig.view(np.int64))
+            out["simhash"] = simh
+            out["n_shingles"] = counts
+            out["bands"] = list(bkeys.view(np.int64))
+            yield pd.DataFrame(out)
+
+    return mapper
+
+
 def make_verify_udf(cfg: DedupConfig):
     """(id_a, content_a, id_b, content_b) -> (exact set-Jaccard, exact-clone
     relation).  The analog of the reference's exact jaccardDistance
@@ -70,7 +101,8 @@ def make_verify_udf(cfg: DedupConfig):
     @pandas_udf(VERIFY_SCHEMA)
     def verify_udf(id_a: pd.Series, content_a: pd.Series,
                    id_b: pd.Series, content_b: pd.Series) -> pd.DataFrame:
-        memo: dict[str, np.ndarray] = {}
+        memo: dict = {}
+        sa_cache: dict = {}
 
         def sh(doc_id: str, text: str) -> np.ndarray:
             got = memo.get(doc_id)
@@ -88,7 +120,9 @@ def make_verify_udf(cfg: DedupConfig):
             jac[i] = K.jaccard_arrays(a, b)
             if jac[i] >= clone_gate:
                 ca, cb = content_a.iloc[i] or "", content_b.iloc[i] or ""
-                clone[i] = K.exact_clone_relation(ca, cb)
+                clone[i] = K.exact_clone_relation(
+                    ca, cb, sa_cache=sa_cache,
+                    key_a=id_a.iloc[i], key_b=id_b.iloc[i])
             else:
                 clone[i] = "none"
         return pd.DataFrame({"jaccard": jac, "clone": clone})

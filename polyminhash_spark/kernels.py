@@ -341,15 +341,32 @@ def sa_contains(text: bytes, pattern: bytes, sa: np.ndarray | None = None) -> bo
     return text[start : start + m] == pattern
 
 
-def exact_clone_relation(a: str, b: str) -> str:
+def exact_clone_relation(a: str, b: str,
+                         sa_cache: dict | None = None,
+                         key_a=None, key_b=None) -> str:
     """'equal' | 'a_in_b' | 'b_in_a' | 'none' — suffix-array-backed
-    exact-clone classification for verified candidate pairs."""
+    exact-clone classification for verified candidate pairs.
+
+    `sa_cache` memoizes suffix arrays by caller-supplied key: candidate
+    pairs arrive in cliques, so each content's O(n log^2 n) SA build is
+    paid once per batch instead of once per pair."""
     ab, bb = a.encode("utf-8", errors="replace"), b.encode("utf-8", errors="replace")
     if ab == bb:
         return "equal"
-    if len(ab) < len(bb) and sa_contains(bb, ab):
+
+    def sa_of(data: bytes, key):
+        if sa_cache is None or key is None:
+            return suffix_array(data)
+        got = sa_cache.get(key)
+        if got is None:
+            got = suffix_array(data)
+            if len(sa_cache) < 4096:
+                sa_cache[key] = got
+        return got
+
+    if len(ab) < len(bb) and sa_contains(bb, ab, sa_of(bb, key_b)):
         return "a_in_b"
-    if len(bb) < len(ab) and sa_contains(ab, bb):
+    if len(bb) < len(ab) and sa_contains(ab, bb, sa_of(ab, key_a)):
         return "b_in_a"
     return "none"
 

@@ -16,8 +16,12 @@ from pyspark.sql import DataFrame
 
 def explode_bands(signed: DataFrame) -> DataFrame:
     """signed (id, bands, ...) -> (id, band int, band_key bigint).
-    Rows with an empty shingle set (n_shingles == 0) are excluded: the
-    reference never indexes records it cannot hash."""
+
+    Rows with an empty shingle set are excluded: the reference never
+    indexes records it cannot hash.  (Filtering on n_shingles is safe
+    because the signature stage is a mapInPandas NODE — a filter on a
+    struct-returning column UDF would instead be pushed below the
+    repartition and force a second UDF evaluation.)"""
     return (
         signed.filter(F.col("n_shingles") > 0)
         .select("id", F.posexplode("bands").alias("band", "band_key"))

@@ -23,8 +23,13 @@ def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(repo, path, commit, lang, content) ->
     (id, repo, path, commit, lang, content_sha, norm_content, n_chars).
 
-    * id = sha256(repo||path||commit) — the unique record id, the analog
-      of the reference's parsed string id (src/parse_geodata.cpp:22-31).
+    * id = first 128 bits of sha256(repo||path||commit) as binary(16) —
+      the unique record id, the analog of the reference's parsed string
+      id (src/parse_geodata.cpp:22-31).  Binary, not hex string: the id
+      is the shuffle key of every downstream stage (bands, pairs,
+      verify joins, connected components), and 16 opaque bytes shuffle
+      and compare ~4x cheaper than a 64-char string.  128 bits keeps
+      collisions negligible at 10^12 rows (~2^-56 birthday bound).
     * content_sha = sha256(content) BEFORE normalization — the per-row
       invariant the north_rule requires to hold input<->output.
     * validity filter — the analog of the reference's type/validity
@@ -34,7 +39,9 @@ def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         df.filter(F.col("content").isNotNull()
                   & (F.length("content") >= cfg.min_content_len))
         .select(
-            F.sha2(F.concat_ws(" ", "repo", "path", "commit"), 256).alias("id"),
+            F.unhex(F.substring(
+                F.sha2(F.concat_ws(" ", "repo", "path", "commit"), 256),
+                1, 32)).alias("id"),
             "repo", "path", "commit", "lang",
             F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
             F.regexp_replace(

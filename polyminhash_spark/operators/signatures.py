@@ -16,21 +16,42 @@ from polyminhash_spark.config import DedupConfig
 from polyminhash_spark.functions.udfs import make_signature_udf
 
 
-def add_signatures(normalized: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """normalized -> + (minhash array<bigint>, simhash bigint,
-    n_shingles int, bands array<bigint>).
+def add_signatures(normalized: DataFrame, cfg: DedupConfig,
+                   carry_cols: tuple = ("id",)) -> DataFrame:
+    """normalized -> (carry_cols..., minhash array<bigint>, simhash
+    bigint, n_shingles int, bands array<bigint>).
 
-    Explicit repartition before the UDF: AQE's coalescing targets
-    shuffle-byte volume, which under-parallelizes CPU-heavy pandas UDFs
-    on small-byte inputs (locally this is the difference between 1 and
-    32 cores; on a cluster it guards against the same effect after a
-    selective upstream filter)."""
-    sig = make_signature_udf(cfg)
-    return normalized.repartition(cfg.shuffle_partitions) \
-        .withColumn("sig", sig(F.col("norm_content"))).select(
-        "*",
-        F.col("sig.minhash").alias("minhash"),
-        F.col("sig.simhash").alias("simhash"),
-        F.col("sig.n_shingles").alias("n_shingles"),
-        F.col("sig.bands").alias("bands"),
-    ).drop("sig")
+    NARROW output: content is consumed for shingling but not shipped
+    back through Arrow / the stage cache; consumers that need it
+    (exact verification) re-join `normalized` on id.
+
+    Physical shape choices:
+    * mapInPandas (a plan node) rather than a struct-returning column
+      UDF: Catalyst's projection collapse can inline differing child
+      expressions into multiple references of the same pandas UDF and
+      evaluate it twice (observed via .explain) — a node can't be split.
+    * Explicit repartition before the node: AQE's coalescing targets
+      shuffle-byte volume, which under-parallelizes CPU-heavy Python
+      stages on small-byte inputs (locally the difference between 1 and
+      32 cores; on a cluster the same effect after a selective filter)."""
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    from polyminhash_spark.functions.udfs import make_signature_map
+
+    sel_cols = list(carry_cols) + (
+        ["norm_content"] if "norm_content" not in carry_cols else [])
+    narrow = normalized.select(*sel_cols)
+    # StructType.add MUTATES the receiver — never call it on df.schema
+    # (the object is cached on the DataFrame; mutating it corrupts every
+    # later plan built from the same frame)
+    carry_fields = [f for f in narrow.schema.fields if f.name in carry_cols]
+    out_schema = StructType(carry_fields + [
+        StructField("minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+        StructField("n_shingles", IntegerType()),
+        StructField("bands", ArrayType(LongType())),
+    ])
+    mapper = make_signature_map(cfg, carry_cols=carry_cols)
+    return narrow.repartition(cfg.shuffle_partitions) \
+        .mapInPandas(mapper, schema=out_schema)

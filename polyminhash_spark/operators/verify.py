@@ -36,9 +36,24 @@ def _attach(pairs: DataFrame, signed: DataFrame, side: str, cols: list[str]) -> 
     return pairs.join(sel, f"id_{side}")
 
 
-def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """pairs (id_a, id_b) -> verified pairs with
-    (est_jaccard, hamming, jaccard, clone, is_duplicate)."""
+def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
+                 content: DataFrame | None = None) -> DataFrame:
+    """pairs (id_a, id_b[, n_shared_bands]) -> verified pairs with
+    (est_jaccard, hamming, jaccard, clone, is_duplicate).
+
+    `signed` is the narrow signature frame (id, minhash, simhash);
+    `content` supplies (id, norm_content) for tier 3 — defaults to
+    `signed` for callers that carried content through.
+
+    Tier 0 (free): n_shared_bands >= cfg.min_band_matches, applied
+    BEFORE the signature attach joins — at scale most random-collision
+    pairs share exactly one band, and this cut keeps their arrays out
+    of the shuffle entirely."""
+    if content is None:
+        content = signed
+    if "n_shared_bands" in pairs.columns and cfg.min_band_matches > 1:
+        pairs = pairs.filter(F.col("n_shared_bands") >= cfg.min_band_matches)
+    pairs = pairs.select("id_a", "id_b")
     p = _attach(pairs, signed, "a", ["minhash", "simhash"])
     p = _attach(p, signed, "b", ["minhash", "simhash"])
 
@@ -57,8 +72,8 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataF
 
     verify = make_verify_udf(cfg)
     s = survivors
-    s = _attach(s, signed, "a", ["norm_content"])
-    s = _attach(s, signed, "b", ["norm_content"])
+    s = _attach(s, content, "a", ["norm_content"])
+    s = _attach(s, content, "b", ["norm_content"])
     out = s.withColumn(
         "v", verify(F.col("id_a"), F.col("norm_content_a"),
                     F.col("id_b"), F.col("norm_content_b"))

@@ -515,16 +515,23 @@ def q_embedding_lsh_topk(d: Dialect) -> str:
     )
 
 
+EMB_NEAR_DUP_X1M = 450_000  # cosine >= 0.45 (driver embeddings are
+                            # near-random, max pairwise cosine ~0.51)
+
+
 def q_embedding_near_dup(d: Dialect) -> str:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.99) — the
-    embedding flavor of the dedup operator set."""
+    """Embedding-cosine near-duplicate pairs — the embedding flavor of
+    the dedup operator set.  Integer-floored threshold so both engines
+    apply the identical cut."""
     dot = _dot(d, "a.embedding", "b.embedding")
     na = _dot(d, "a.embedding", "a.embedding")
     nb = _dot(d, "b.embedding", "b.embedding")
     return (
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE ({dot}) / (sqrt({na}) * sqrt({nb})) >= 0.99"
+        "SELECT vec_a, vec_b, sim_x1m FROM ("
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"cast(floor(({dot}) / (sqrt({na}) * sqrt({nb})) * 1000000) as bigint) AS sim_x1m "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
+        f"WHERE sim_x1m >= {EMB_NEAR_DUP_X1M}"
     )
 
 

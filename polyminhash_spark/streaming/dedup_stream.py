@@ -31,10 +31,16 @@ from polyminhash_spark.operators.signatures import add_signatures
 from polyminhash_spark.operators.verify import verify_pairs
 
 
+STREAM_CARRY = ("id", "repo", "path", "commit", "lang", "norm_content")
+
+
 def streaming_signatures(stream_src: DataFrame, cfg: DedupConfig) -> DataFrame:
     """input_hint-shaped streaming DataFrame -> signed streaming frame
-    (id, ..., minhash, simhash, bands).  Stateless: valid in append mode."""
-    return add_signatures(normalize(stream_src, cfg), cfg)
+    (id, ..., norm_content, minhash, simhash, bands).  Stateless: valid
+    in append mode.  Content is carried through (micro-batches are
+    small) so foreachBatch verification needs no side lookup."""
+    return add_signatures(normalize(stream_src, cfg), cfg,
+                          carry_cols=STREAM_CARRY)
 
 
 def incremental_batch_dedup(batch_signed: DataFrame, static_signed: DataFrame,

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence run (BASELINE.json north_rule).
+
+The rule asks for throughput scaling efficiency >= 0.8 from N to 4N
+executors.  No real cluster exists in this sandbox, so we run the
+IDENTICAL job on IDENTICAL input at local[8] and local[32] on the same
+32-core box (cores as the executor-count proxy) and report
+
+    efficiency = throughput_32 / (4 * throughput_8)
+               = T_8 / (4 * T_32)
+
+Each parallelism level runs in its own subprocess (fresh JVM, no cache
+bleed).  Results land in BENCH/BASELINE.md.
+
+Usage:  python scripts/scaling_bench.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUN_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from polyminhash_spark.session import build_session
+from polyminhash_spark.config import default_config
+from polyminhash_spark.pipeline import run_pipeline
+
+spark = build_session(app_name="polyminhash-scaling", master="local[{cores}]",
+                      shuffle_partitions={parts})
+src = spark.read.parquet({corpus!r})
+src.count()  # warm the scan outside the timed window
+t0 = time.time()
+res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+n_clusters = res.clusters.select("cluster_id").distinct().count()
+wall = time.time() - t0
+print(json.dumps({{"cores": {cores}, "wall_sec": round(wall, 2),
+                   "clusters": n_clusters}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, corpus: str) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus,
+                              parts=cores * 2)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    corpus = f"/tmp/polyminhash_scaling_corpus_{n_files}_s42.parquet"
+    if not os.path.exists(corpus):
+        from polyminhash_spark.corpus import CorpusParams, write_corpus_parquet
+        t0 = time.time()
+        write_corpus_parquet(corpus, CorpusParams(n_files=n_files,
+                                                  dup_frac=0.2, seed=42))
+        print(f"corpus generated in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    r8 = run_level(8, corpus)
+    r32 = run_level(32, corpus)
+    assert r8["clusters"] == r32["clusters"], "parallelism changed results!"
+
+    tp8 = n_files / r8["wall_sec"]
+    tp32 = n_files / r32["wall_sec"]
+    eff = tp32 / (4 * tp8)
+    result = {
+        "n_files": n_files,
+        "clusters": r32["clusters"],
+        "wall_sec_8": r8["wall_sec"], "wall_sec_32": r32["wall_sec"],
+        "files_per_sec_8": round(tp8, 1), "files_per_sec_32": round(tp32, 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH — measured numbers (this machine, 32 cores, PySpark 4.1.2 local mode)
+
+## Scaling efficiency N -> 4N (north_rule evidence)
+
+Identical job (full dedup pipeline: normalize -> exact-group -> MinHash
+signatures -> LSH banding -> tiered verify -> connected components) on
+identical input ({n_files:,} synthetic source files, seed 42), run at
+two parallelism levels on the same box; cores stand in for executors
+(no real cluster in this sandbox).  Cluster assignments identical at
+both levels ({r32['clusters']:,} clusters).
+
+| cores (executor proxy) | wall sec | files/sec |
+|---|---|---|
+| 8  (N)  | {r8['wall_sec']} | {tp8:,.1f} |
+| 32 (4N) | {r32['wall_sec']} | {tp32:,.1f} |
+
+**Scaling efficiency = throughput_32 / (4 x throughput_8) = {eff:.3f}**
+(target >= 0.8 per BASELINE.json)
+
+Reproduce: `python scripts/scaling_bench.py {n_files}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

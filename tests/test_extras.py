@@ -116,15 +116,20 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     from polyminhash_spark.corpus import CorpusParams, generate_corpus
     from polyminhash_spark.operators.normalize import normalize
     from polyminhash_spark.operators.signatures import add_signatures
-    from polyminhash_spark.streaming.dedup_stream import run_incremental_dedup
+    from polyminhash_spark.streaming.dedup_stream import (
+        STREAM_CARRY, run_incremental_dedup)
 
     cfg = default_config()
     rows, truth = generate_corpus(CorpusParams(n_files=60, dup_frac=0.5, seed=21))
-    # static index: first 40 files; stream: last 20 (some are dups of indexed)
-    static_rows, stream_rows = rows[:40], rows[40:]
+    # interleaved split so duplicate groups span both sets (the
+    # generator emits dup groups first, so a prefix split would put
+    # every group entirely in the static side)
+    static_rows = [r for i, r in enumerate(rows) if i % 2 == 0]
+    stream_rows = [r for i, r in enumerate(rows) if i % 2 == 1]
     schema = "repo string, path string, commit string, lang string, content string"
     static_df = spark.createDataFrame(static_rows, schema)
-    static_signed = add_signatures(normalize(static_df, cfg), cfg)
+    static_signed = add_signatures(normalize(static_df, cfg), cfg,
+                                   carry_cols=STREAM_CARRY)
 
     stream_dir = str(tmp_path / "incoming")
     spark.createDataFrame(stream_rows, schema).coalesce(1) \
