@@ -27,8 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 RUN_SNIPPET = """
-import json, sys, time
+import json, sys, time, os
 sys.path.insert(0, {repo!r})
+os.environ.setdefault("POLYMINHASH_DRIVER_MEM", "48g")
 from polyminhash_spark.session import build_session
 from polyminhash_spark.config import default_config
 from polyminhash_spark.pipeline import run_pipeline
