@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — the scale properties the engine
+depends on, asserted via .explain so they can't silently regress
+(SURVEY.md §4)."""
+
+import contextlib
+import io
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from polyminhash_spark.config import default_config
+from polyminhash_spark.corpus import CorpusParams, corpus_spark_df
+from polyminhash_spark.operators.bands import explode_bands
+from polyminhash_spark.operators.candidates import candidate_pairs
+from polyminhash_spark.operators.normalize import normalize
+from polyminhash_spark.operators.signatures import add_signatures
+
+CFG = default_config()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def parquet_src(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "c.parquet")
+    corpus_spark_df(spark, CorpusParams(n_files=50, seed=3)) \
+        .write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_scan_pushdown_and_pruning(spark, parquet_src):
+    plan = _plan(normalize(parquet_src, CFG).select("id", "content_sha"))
+    # validity predicate reaches the scan
+    assert "PushedFilters: [IsNotNull(content)]" in plan
+    # column pruning: lang not read for a projection that doesn't need it
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1)
+
+
+def test_signature_stage_is_single_python_node(spark, parquet_src):
+    """The signature kernel must appear EXACTLY once in the plan.
+    Regression: a struct-returning pandas UDF got double-evaluated when
+    Catalyst inlined differing child expressions into its references."""
+    bands = explode_bands(add_signatures(normalize(parquet_src, CFG), CFG))
+    plan = _plan(bands)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "ArrowEvalPython" not in plan
+
+
+def test_signature_stage_explicit_parallelism(spark, parquet_src):
+    """The repartition before the CPU-bound Python stage must survive
+    optimization (AQE byte-based coalescing would serialize it)."""
+    signed = add_signatures(normalize(parquet_src, CFG), CFG)
+    plan = _plan(signed)
+    assert "RoundRobinPartitioning" in plan and "REPARTITION_BY_NUM" in plan
+
+
+def test_candidates_no_window_in_cold_path(spark, parquet_src):
+    """Without hot buckets, candidate generation must not sort the band
+    table (the windowed cap only runs on the hot subset)."""
+    bands = explode_bands(add_signatures(normalize(parquet_src, CFG), CFG))
+    pairs, _ = candidate_pairs(bands, CFG.max_bucket_size)
+    plan = _plan(pairs)
+    assert "Window" not in plan
+    # pair generation is JVM-side: no Python nodes beyond the signature stage
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
