@@ -70,16 +70,23 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     """pairs (id_a, id_b) + all_ids (id) -> (id, cluster_id).
 
     cluster_id = min id in the component; singletons map to themselves.
-    """
-    spark = pairs.sparkSession
+
+    One Spark job per iteration: each round's edge set is a LAZY
+    localCheckpoint whose materializing action is the convergence
+    checksum (localCheckpoint, not persist — persist leaves the logical
+    plan growing exponentially across rounds, which OOMs merely
+    rendering plan strings; checkpointing truncates it)."""
     edges = _canon(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")))
-    edges = edges.localCheckpoint(eager=True)
-    prev = _checksum(edges)
+    edges = edges.localCheckpoint(eager=False)
+    prev = _checksum(edges)  # materializes the checkpoint
+    if prev[0] == 0:
+        # no duplicate edges at all: everyone is a singleton
+        return all_ids.select("id", F.col("id").alias("cluster_id"))
 
     for _ in range(max_iter):
-        edges = _canon(_small_star(_large_star(edges)))
-        edges = edges.localCheckpoint(eager=True)
-        cur = _checksum(edges)
+        edges = _canon(_small_star(_large_star(edges))) \
+            .localCheckpoint(eager=False)
+        cur = _checksum(edges)  # one action: materializes + tests convergence
         if cur == prev:
             break
         prev = cur

@@ -34,6 +34,13 @@ def build_session(app_name: str = "polyminhash",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("POLYMINHASH_DRIVER_MEM", "8g"))
     )
+    # shuffle spill dir: tmpfs when available — local-mode shuffle files
+    # on a virtio disk serialize concurrent writers (observed: the
+    # shuffle-heavy candidate stage ran SLOWER at 32 cores than 8);
+    # on a real cluster this is the executors' local NVMe
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir",
+                     os.environ.get("POLYMINHASH_LOCAL_DIR", "/dev/shm/spark-local"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
