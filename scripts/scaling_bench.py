@@ -48,13 +48,27 @@ spark.stop()
 """
 
 
+def _load1() -> float:
+    return os.getloadavg()[0]
+
+
 def run_level(cores: int, corpus: str) -> dict:
+    # the sandbox host has noisy neighbors (load >> 0 with zero container
+    # processes); wait for a quiet window so the measurement is honest
+    waited = 0
+    while _load1() > 4.0 and waited < 600:
+        time.sleep(15)
+        waited += 15
+    load_before = _load1()
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus,
                               parts=cores * 2)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["host_load_before"] = round(load_before, 1)
+    r["host_load_after"] = round(_load1(), 1)
+    return r
 
 
 def main() -> None:
@@ -69,6 +83,8 @@ def main() -> None:
 
     r8 = run_level(8, corpus)
     r32 = run_level(32, corpus)
+    clean = max(r8["host_load_before"], r8["host_load_after"],
+                r32["host_load_before"], r32["host_load_after"]) < 8.0
     assert r8["clusters"] == r32["clusters"], "parallelism changed results!"
 
     tp8 = n_files / r8["wall_sec"]
@@ -80,8 +96,15 @@ def main() -> None:
         "wall_sec_8": r8["wall_sec"], "wall_sec_32": r32["wall_sec"],
         "files_per_sec_8": round(tp8, 1), "files_per_sec_32": round(tp32, 1),
         "scaling_efficiency_8_to_32": round(eff, 3),
+        "host_load": [r8["host_load_before"], r8["host_load_after"],
+                      r32["host_load_before"], r32["host_load_after"]],
+        "clean_measurement": clean,
     }
     print(json.dumps(result))
+    if not (clean and "--write" in sys.argv):
+        # don't overwrite the curated BENCH/BASELINE.md with a run taken
+        # under noisy-neighbor load (or without explicit --write)
+        return
 
     md = f"""# BENCH — measured numbers (this machine, 32 cores, PySpark 4.1.2 local mode)
 
