@@ -62,6 +62,70 @@ def incremental_batch_dedup(batch_signed: DataFrame, static_signed: DataFrame,
     return verify_pairs(pairs, both, cfg)
 
 
+def streaming_repo_dedup_stats(stream_src: DataFrame, cfg: DedupConfig,
+                               max_tracked_shas: int = 100_000) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-repo running exact-duplicate statistics across micro-batches.
+
+    State per repo = (total rows seen, set of distinct norm_shas,
+    bounded); each batch emits the repo's updated counters.  This is
+    the stateful face of the exact-dedup stage: a feed of incoming
+    files keyed by repo, with cross-batch memory of what each repo has
+    already contributed — the pattern a streaming ingestion dedup gate
+    needs.  State is bounded (max_tracked_shas per repo) and the
+    overflow is COUNTED, not silent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, BooleanType, LongType,
+                                   StringType, StructField, StructType)
+
+    normalized = normalize(stream_src, cfg).select("repo", "norm_sha")
+
+    out_schema = StructType([
+        StructField("repo", StringType()),
+        StructField("batch_rows", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("unique_contents", LongType()),
+        StructField("dup_rows", LongType()),
+        StructField("state_overflow", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("total", LongType()),
+        StructField("dups", LongType()),
+        StructField("shas", ArrayType(StringType())),
+        StructField("overflow", BooleanType()),
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        (repo,) = key
+        if state.exists:
+            total, dups, shas, overflow = state.get
+            seen = set(shas)
+        else:
+            total, dups, seen, overflow = 0, 0, set(), False
+        batch_rows = 0
+        for pdf in pdf_iter:
+            batch_rows += len(pdf)
+            for sha in pdf["norm_sha"]:
+                total += 1
+                if sha in seen:
+                    dups += 1
+                elif len(seen) < max_tracked_shas:
+                    seen.add(sha)
+                else:
+                    overflow = True  # beyond capacity: dup detection degrades
+        state.update((total, dups, list(seen), overflow))
+        yield pd.DataFrame([{
+            "repo": repo, "batch_rows": batch_rows, "total_rows": total,
+            "unique_contents": len(seen), "dup_rows": dups,
+            "state_overflow": overflow,
+        }])
+
+    return normalized.groupBy("repo").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def run_incremental_dedup(spark: SparkSession, stream_src: DataFrame,
                           static_signed: DataFrame, cfg: DedupConfig,
                           sink_path: str, checkpoint_path: str,
