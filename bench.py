@@ -98,8 +98,13 @@ def main() -> None:
     timings["dedup_pipeline"] = round(pipeline_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    try:
+        load = [round(x, 1) for x in os.getloadavg()]
+    except OSError:
+        load = None
     out = {
         "metric": "files/sec MinHash+LSH dedup throughput (end-to-end pipeline)",
+        "host_load_1_5_15": load,  # shared host: see BENCH/BASELINE.md caveat
         "value": round(n_files / pipeline_sec, 2),
         "unit": "files/sec",
         "queries": timings,
