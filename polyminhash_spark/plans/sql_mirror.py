@@ -286,6 +286,32 @@ def q_topk(d: Dialect) -> str:
     return _with(*full_chain(d)) + _topk_tail(5)
 
 
+def q_knn_directional(d: Dialect) -> str:
+    """Query-set vs data-set k-NN (reference two-file entry shape):
+    queries = docs with doc_id %% 3 = 0 probing the rest; candidates
+    from shared band keys, exact-Jaccard verified, ranked per query."""
+    return _with(*full_chain(d)[:6]) + (
+        ", dpairs AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key "
+        "WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0 "
+        "GROUP BY a.doc_id, b.doc_id)"
+        ", dverify AS (SELECT query_id, neighbor_id, inter_n, "
+        "na + nb - inter_n AS union_n FROM ("
+        "SELECT p.query_id, p.neighbor_id, "
+        f"cast({d.size(d.intersect('ga.gs', 'gb.gs'))} as bigint) AS inter_n, "
+        f"cast({d.size('ga.gs')} as bigint) AS na, "
+        f"cast({d.size('gb.gs')} as bigint) AS nb "
+        "FROM dpairs p JOIN grams ga ON ga.doc_id = p.query_id "
+        "JOIN grams gb ON gb.doc_id = p.neighbor_id) t)"
+        ", dranked AS (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "cast(inter_n as double)/union_n DESC, neighbor_id ASC) AS rank "
+        "FROM dverify) "
+        "SELECT query_id, neighbor_id, cast(rank as bigint) AS rank "
+        "FROM dranked WHERE rank <= 5"
+    )
+
+
 def q_bf_topk(d: Dialect) -> str:
     return _with(cte_docs(d), cte_grams(d)) + (
         ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
@@ -575,6 +601,7 @@ QUERIES = {
     "verify_pairs": q_verify,                # O16
     "est_vs_exact": q_est_vs_exact,          # O17
     "topk_neighbors": q_topk,                # O18/O19
+    "knn_directional": q_knn_directional,    # query-vs-data entry shape
     "bf_topk": q_bf_topk,                    # O21
     "eval_metrics": q_eval_metrics,          # O22
     "recall1_stats": q_recall1_stats,        # O23
