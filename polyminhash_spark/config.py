@@ -52,8 +52,12 @@ class DedupConfig:
     top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)
 
     # --- skew / scale controls (north_rule: explicit salting + caps) ---
-    max_bucket_size: int = 1000       # LSH bucket cap; larger buckets truncated + logged
-    salt_buckets: int = 8             # salt factor for hot-bucket pair verification
+    # Buckets above max_bucket_size switch to connectivity-preserving
+    # star + salted-sub-bucket pair generation (operators/candidates.py):
+    # every member keeps an edge to the bucket min (cliques never sever),
+    # plus all-pairs within salt_buckets deterministic sub-buckets.
+    max_bucket_size: int = 1000
+    salt_buckets: int = 8
     shuffle_partitions: int = 32
 
     # --- misc ---

@@ -1,17 +1,30 @@
 """Candidate generation — SURVEY.md O15 (probe = equi-join on band key)
-with the skew handling the reference lacks (SURVEY.md §4, north_rule).
+with the skew handling the reference lacks (SURVEY.md §4, north_rule
+"skewed repos/buckets handled with explicit salting and repartitioning").
 
 Physical shape:
 1. bucket sizes: one partial-aggregated groupBy (cheap, no sort).
 2. hot-bucket detection: buckets above the cap are collected to the
    driver — there are few by construction (exact-dup pre-grouping
    removed identical content; caps target residual near-dup crowds).
-   The common case is ZERO hot buckets, and then NO window/sort ever
+   The common case is ZERO hot buckets, and then NO extra work ever
    touches the band table.
-3. hot buckets only: deterministic rank-cap (window over the hot
-   subset, which is bounded by |hot| × bucket size).
+3. hot buckets only — connectivity-preserving salted pair generation:
+   * STAR edges: every bucket member pairs with the bucket MIN id —
+     O(n) pairs per bucket, and any clique that lands in one bucket
+     stays connected through verify + connected components no matter
+     how large it is (no member ever loses all its edges).
+   * SALTED sub-buckets: the non-min members are deterministically
+     hashed into `salt_buckets` sub-buckets; all-pairs WITHIN each
+     sub-bucket adds the intra-crowd edges back at 1/salt_buckets of
+     the all-pairs volume.  A sub-bucket still above the cap emits
+     star edges only (pair volume stays bounded).
+   Star and salted pair sets are disjoint by construction (star pairs
+   always contain the min id; salted pairs never do), so per band each
+   unordered pair is emitted at most once and the cross-band
+   n_shared_bands count keeps its exact semantics.
 4. pair generation: groupBy (band, band_key) + sorted collect_list +
-   JVM nested-transform explode — no Python.
+   JVM nested-transform explode — no Python, no window/sort anywhere.
 5. pair dedup across bands via groupBy count; the count doubles as the
    tier-0 verification cut (shared-band count, config.min_band_matches).
 
@@ -23,7 +36,7 @@ hand-rolls (src/util.cpp:153-184) is the shuffle hash partitioner.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 PAIR_EXPR = (
     "flatten(transform(ids, (x, i) -> "
@@ -32,44 +45,75 @@ PAIR_EXPR = (
 )
 
 
-def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000
-                    ) -> tuple[DataFrame, DataFrame]:
-    """bands_df (id, band, band_key) -> (pairs (id_a, id_b,
-    n_shared_bands), bucket_stats (band, band_key, bucket_n, truncated)).
+def _all_pairs(members: DataFrame, group_cols: list[str],
+               max_size: int | None = None) -> DataFrame:
+    """All unordered pairs within each group, via sorted collect_list +
+    JVM transform-explode.  Groups above `max_size` are skipped (their
+    connectivity is carried by the star edges)."""
+    grouped = (members.groupBy(*group_cols)
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    if max_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_size)
+    return (grouped
+            .select(F.explode(F.expr(PAIR_EXPR)).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b")))
 
-    id_a < id_b always (canonical pair orientation)."""
+
+def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
+                    salt_buckets: int = 8) -> tuple[DataFrame, DataFrame]:
+    """bands_df (id, band, band_key) -> (pairs (id_a, id_b,
+    n_shared_bands), bucket_stats (band, band_key, bucket_n, salted)).
+
+    id_a < id_b always (canonical pair orientation).  Buckets larger
+    than `max_bucket_size` switch to star + salted pair generation
+    (connectivity preserved, pair volume ~bucket_n * bucket_n /
+    salt_buckets instead of bucket_n^2); they are flagged `salted` in
+    bucket_stats, never silently dropped."""
     sizes = bands_df.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("bucket_n"))
     bucket_stats = sizes.filter(F.col("bucket_n") >= 2).select(
         "band", "band_key", "bucket_n",
-        (F.col("bucket_n") > max_bucket_size).alias("truncated"))
+        (F.col("bucket_n") > max_bucket_size).alias("salted"))
 
     hot = [(r["band"], r["band_key"])
-           for r in bucket_stats.filter("truncated").collect()]
+           for r in bucket_stats.filter("salted").collect()]
 
     member_src = bands_df
+    hot_pairs = None
     if hot:
         spark = bands_df.sparkSession
         hot_df = spark.createDataFrame(hot, ["band", "band_key"]) \
             .withColumn("is_hot", F.lit(True))
         marked = bands_df.join(F.broadcast(hot_df), ["band", "band_key"],
                                "left")
-        cold = marked.filter(F.col("is_hot").isNull()).drop("is_hot")
-        w = Window.partitionBy("band", "band_key").orderBy("id")
-        hot_capped = (marked.filter(F.col("is_hot").isNotNull())
-                      .drop("is_hot")
-                      .withColumn("rn", F.row_number().over(w))
-                      .filter(F.col("rn") <= max_bucket_size)
-                      .drop("rn"))
-        member_src = cold.unionByName(hot_capped)
+        member_src = marked.filter(F.col("is_hot").isNull()).drop("is_hot")
+        hot_members = marked.filter(F.col("is_hot").isNotNull()) \
+                            .drop("is_hot")
+
+        # star: every member -> bucket min id (connectivity floor)
+        mins = hot_members.groupBy("band", "band_key") \
+                          .agg(F.min("id").alias("min_id"))
+        nonmin = hot_members.join(F.broadcast(mins), ["band", "band_key"]) \
+                            .filter(F.col("id") != F.col("min_id"))
+        star = nonmin.select(F.col("min_id").alias("id_a"),
+                             F.col("id").alias("id_b"))
+
+        # salted: all-pairs within deterministic sub-buckets of the
+        # non-min members (disjoint from star: min id excluded)
+        salted = _all_pairs(
+            nonmin.withColumn(
+                "salt", F.pmod(F.xxhash64("id"), F.lit(salt_buckets))),
+            ["band", "band_key", "salt"], max_size=max_bucket_size)
+        hot_pairs = star.unionByName(salted)
+
+    per_band = _all_pairs(member_src, ["band", "band_key"])
+    if hot_pairs is not None:
+        per_band = per_band.unionByName(hot_pairs)
 
     pairs = (
-        member_src
-        .groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(PAIR_EXPR)).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        per_band
         # same shuffle as a dropDuplicates, but the count is free and
         # becomes the tier-0 verification cut (config.min_band_matches)
         .groupBy("id_a", "id_b")

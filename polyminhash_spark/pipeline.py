@@ -89,15 +89,16 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
 
     def build_candidates() -> DataFrame:
         bands_df = explode_bands(signed)
-        pairs, bucket_stats = candidate_pairs(bands_df, cfg.max_bucket_size)
+        pairs, bucket_stats = candidate_pairs(
+            bands_df, cfg.max_bucket_size, cfg.salt_buckets)
         if collect_metrics:
             bs = bucket_stats.agg(
                 F.count(F.lit(1)).alias("n_buckets"),
-                F.sum(F.col("truncated").cast("int")).alias("n_truncated"),
+                F.sum(F.col("salted").cast("int")).alias("n_salted"),
                 F.max("bucket_n").alias("max_bucket"),
             ).collect()[0]
             metrics["n_buckets"] = int(bs["n_buckets"] or 0)
-            metrics["n_truncated_buckets"] = int(bs["n_truncated"] or 0)
+            metrics["n_salted_buckets"] = int(bs["n_salted"] or 0)
             metrics["max_bucket"] = int(bs["max_bucket"] or 0)
         return pairs
 

@@ -89,9 +89,12 @@ def test_identical_file_avalanche_absorbed_by_exact_groups(spark):
     assert min(vendored_ids) in labels          # label = min member id
 
 
-def test_near_dup_hot_bucket_capped_and_logged(spark):
-    """Near-dup (non-identical) hot buckets are bounded by the cap and
-    the truncation is counted, not silent (north_rule)."""
+def test_near_dup_hot_bucket_salted_stays_connected(spark):
+    """Near-dup (non-identical) hot buckets switch to star + salted
+    pair generation: the skew is counted, pair volume is bounded, and
+    — the part plain truncation got wrong — a near-dup clique LARGER
+    than the bucket cap still lands in exactly ONE cluster (no member
+    ever loses all its candidate edges)."""
     base = "\n".join(f"line {i} common payload alpha beta gamma" for i in range(40))
     rows = [("o", f"p{i}", f"c{i:040d}", "python", base + f"\n# tail {i}\n")
             for i in range(50)]
@@ -100,10 +103,29 @@ def test_near_dup_hot_bucket_capped_and_logged(spark):
     res = run_pipeline(spark, src, cfg)
     assert res.metrics["n_reps"] == 50          # all distinct contents
     assert res.metrics["max_bucket"] > 10       # skew present
-    assert res.metrics["n_truncated_buckets"] >= 1
-    # verification stays exact under truncation
+    assert res.metrics["n_salted_buckets"] >= 1
+    # verification stays exact under salting
     bad = res.verified.filter(
         F.col("is_duplicate") & (F.col("jaccard") < cfg.jaccard_threshold)
     ).count()
     assert bad == 0
-    assert res.clusters.count() == 50
+    clusters = [r.cluster_id for r in res.clusters.collect()]
+    assert len(clusters) == 50
+    # connectivity: all 50 members of the over-cap clique in ONE cluster
+    assert len(set(clusters)) == 1
+    # pair volume is bounded: star (49/band) + salted sub-bucket pairs,
+    # far below the 50*49/2 all-pairs volume per band
+    n_cand = res.candidates.count()
+    assert n_cand < 50 * 49 / 2
+
+
+def test_salted_pairs_match_unsalted_clusters(spark):
+    """Salting is a physical strategy, not a semantic one: on a mixed
+    corpus, clusters with a small cap + salting must equal clusters
+    with a cap large enough that no bucket is ever hot."""
+    src = corpus_spark_df(spark, CorpusParams(n_files=120, dup_frac=0.5, seed=7))
+    hot = run_pipeline(spark, src, CFG.with_(max_bucket_size=5, salt_buckets=4),
+                       collect_metrics=False)
+    cold = run_pipeline(spark, src, CFG.with_(max_bucket_size=100_000),
+                        collect_metrics=False)
+    assert _cluster_set(hot) == _cluster_set(cold)
