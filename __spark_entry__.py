@@ -80,6 +80,44 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cluster_id").cast("bigint").alias("cluster_id"))
 
 
+def _simhash_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-bucketed SimHash near-dup pairs (production plan: band
+    on 4 disjoint 4-bit chunks, exact-hamming verify — no O(n^2) join).
+    Oracle: the all-pairs q_simhash_near_dup mirror; the pigeonhole
+    argument makes the bucketed plan COMPLETE at hamming <= 3, so the
+    outputs are identical."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.operators.simhash_dedup import simhash_near_dup_pairs
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    sim = spark.sql(M.spark_sql("simhash16"))
+    out = simhash_near_dup_pairs(sim, hamming_max=3, bits=16,
+                                 id_col="doc_id", sim_col="simhash16")
+    return out.select(F.col("id_a").alias("doc_a"),
+                      F.col("id_b").alias("doc_b"),
+                      F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed embedding near-dup pairs verified by
+    exact cosine.  Oracle: the all-pairs q_embedding_near_dup mirror.
+    The driver's synthetic embeddings are near-random (threshold 0.45
+    is a weak angle), so recall 1.0 needs the short-code/many-table
+    regime (4 planes x 32 tables — measured 14/14 at sf0.01 and
+    144/144 at sf0.1); production thresholds (>= 0.8) use the default
+    8x4 config with 100-1000x pruning (see operators/similarity.py)."""
+    from polyminhash_spark.operators.similarity import lsh_cosine_near_dup_pairs
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_cosine_near_dup_pairs(
+        emb, threshold_x1m=M.EMB_NEAR_DUP_X1M, dim=64,
+        n_planes=4, n_tables=32)
+
+
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production pandas-UDF pipeline end-to-end (rows-only check: the
     numpy MinHash kernels are not SQL-expressible; their correctness
@@ -108,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable] = {n: _sql_query(n) for n in M.QUERIES}
     out["cluster_labels"] = _cluster_labels
+    out["simhash_near_dup_bucketed"] = _simhash_near_dup_bucketed
+    out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
     out["pipeline_clusters"] = _pipeline_clusters
     out["pipeline_neighbors"] = _pipeline_neighbors
     return out
@@ -118,6 +158,11 @@ def oracle_sql() -> dict[str, str]:
 
     out = {n: M.duck_sql(n) for n in M.QUERIES}
     out["cluster_labels"] = M.cc_oracle_duck()
+    # bucketed production plans, all-pairs oracles: same output by the
+    # pigeonhole completeness argument (simhash) / measured recall-1.0
+    # LSH regime (embeddings)
+    out["simhash_near_dup_bucketed"] = M.duck_sql("simhash_near_dup")
+    out["embedding_near_dup_bucketed"] = M.duck_sql("embedding_near_dup")
     # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
     # SQL-expressible — rows-only check (gate lives in tests/).
     return out
