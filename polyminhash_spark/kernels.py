@@ -106,13 +106,22 @@ def char_shingles(text: str, k: int, max_shingles: int = 1 << 18) -> np.ndarray:
 
 
 def token_shingles(text: str, k: int, max_shingles: int = 1 << 18) -> np.ndarray:
-    """Distinct k-token-gram hashes (identifier/number/punct tokens)."""
+    """Distinct k-token-gram hashes (identifier/number/punct tokens).
+
+    Token hashing is factorized: pandas codes the token stream at C
+    speed, bytes_hash runs once per DISTINCT token (source code repeats
+    identifiers heavily — measured ~10-40x fewer hash calls), and the
+    rolling k-gram fold over the looked-up code array is pure numpy."""
+    import pandas as pd
+
     toks = _TOKEN_RE.findall(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    th = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        th[i] = bytes_hash(t.encode("utf-8", errors="replace"))
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+    lut = np.fromiter(
+        (bytes_hash(t.encode("utf-8", errors="replace")) for t in uniques),
+        dtype=np.uint64, count=len(uniques))
+    th = lut[codes]
     if len(toks) < k:
         h = th[:1].copy()
         for j in range(1, len(toks)):

@@ -38,7 +38,14 @@ def knn_query(data: DataFrame, queries: DataFrame, cfg: DedupConfig,
     Ids are namespaced ('q:'/'d:' prefix on the binary id, hex at the
     output boundary) so a record present in both sets is still a valid
     neighbor of itself — the reference does not exclude self-matches
-    across files."""
+    across files.
+
+    Band semantics: the reference's probe surfaces a candidate on ANY
+    table hit (OR across tables, src/query.cpp:132-162), so the
+    query-vs-data path always verifies pairs sharing >= 1 band — the
+    dedup pipeline's min_band_matches tier-0 cut (an AND-ish recall/
+    volume trade tuned for self-join pair volume) does NOT apply here."""
+    cfg = cfg.with_(min_band_matches=1)
     data_norm = normalize(data, cfg).withColumn(
         "id", F.concat(F.lit(b"d"), F.col("id")))
     query_norm = normalize(queries, cfg).withColumn(

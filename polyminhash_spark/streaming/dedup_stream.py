@@ -105,15 +105,22 @@ def streaming_repo_dedup_stats(stream_src: DataFrame, cfg: DedupConfig,
             total, dups, seen, overflow = 0, 0, set(), False
         batch_rows = 0
         for pdf in pdf_iter:
-            batch_rows += len(pdf)
-            for sha in pdf["norm_sha"]:
-                total += 1
-                if sha in seen:
-                    dups += 1
-                elif len(seen) < max_tracked_shas:
-                    seen.add(sha)
-                else:
-                    overflow = True  # beyond capacity: dup detection degrades
+            # vectorized update (no per-row Python, input_hint contract):
+            # a sha is a dup if already in state OR repeated within the
+            # batch; new distinct shas append up to the state capacity.
+            shas = pdf["norm_sha"]
+            batch_rows += len(shas)
+            total += len(shas)
+            in_state = shas.isin(seen)
+            dups += int(in_state.sum())
+            fresh = shas[~in_state]
+            dups += int(fresh.duplicated().sum())
+            new_distinct = fresh.drop_duplicates()
+            room = max_tracked_shas - len(seen)
+            if len(new_distinct) > room:
+                overflow = True  # beyond capacity: dup detection degrades
+                new_distinct = new_distinct.iloc[:room]
+            seen.update(new_distinct)
         state.update((total, dups, list(seen), overflow))
         yield pd.DataFrame([{
             "repo": repo, "batch_rows": batch_rows, "total_rows": total,

@@ -204,3 +204,39 @@ def test_rejection_minhash_fidelity():
     p_far = float(np.mean(h_base == h_far))
     assert p_near > p_far
     assert p_near > 0.5  # high-overlap pairs collide often
+
+
+def test_token_shingles_factorized_parity():
+    """The factorized token-hash path (pd.factorize + per-distinct-token
+    bytes_hash, kernels.py) must equal the straightforward
+    hash-every-token loop bit-for-bit on every input shape."""
+    from polyminhash_spark.kernels import (_FNV, _TOKEN_RE, bytes_hash,
+                                           mix64, token_shingles)
+
+    def reference(text, k):
+        toks = _TOKEN_RE.findall(text)
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        th = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            th[i] = bytes_hash(t.encode("utf-8", errors="replace"))
+        if len(toks) < k:
+            h = th[:1].copy()
+            for j in range(1, len(toks)):
+                h = h * _FNV + th[j:j + 1]
+            return mix64(h)
+        m = len(toks) - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * _FNV + th[j:j + m]
+        return np.unique(mix64(h))
+
+    samples = [
+        "", "x", "a b", "def f(x): return x + 1",
+        "same same same same same same same same",
+        "def handler(req):\n    return req.value * 2\n" * 50,
+        "unicode: éè 中文 tokens 123 !!",
+    ]
+    for k in (2, 7):
+        for t in samples:
+            assert np.array_equal(token_shingles(t, k), reference(t, k)), (k, t[:40])
