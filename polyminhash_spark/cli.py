@@ -60,6 +60,12 @@ def cmd_bench(args) -> int:
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf_dir)
     if args.n_files:
         os.environ["POLYMINHASH_BENCH_FILES"] = str(args.n_files)
+    # bench.py lives at the repo root, one level above this package;
+    # under `spark-submit polyminhash_spark/cli.py` sys.path[0] is the
+    # package dir, so the root must be added explicitly
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     import bench
 
     bench.main()

@@ -19,13 +19,33 @@ from polyminhash_spark.config import DedupConfig
 _BOM = "\ufeff"
 
 
+def _len_prefixed(col: str) -> F.Column:
+    """Injective field encoding: '<len>:<value>', NULL -> '-'."""
+    c = F.col(col)
+    return F.coalesce(
+        F.concat(F.length(c).cast("string"), F.lit(":"), c), F.lit("-"))
+
+
+def record_id(repo: str = "repo", path: str = "path",
+              commit: str = "commit") -> F.Column:
+    """binary(16) record id from the injective (repo, path, commit)
+    encoding \u2014 see normalize() docstring."""
+    key = F.concat(_len_prefixed(repo), _len_prefixed(path),
+                   _len_prefixed(commit))
+    return F.unhex(F.substring(F.sha2(key, 256), 1, 32))
+
+
 def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(repo, path, commit, lang, content) ->
     (id, repo, path, commit, lang, content_sha, norm_content, n_chars).
 
-    * id = first 128 bits of sha256(repo||path||commit) as binary(16) —
-      the unique record id, the analog of the reference's parsed string
-      id (src/parse_geodata.cpp:22-31).  Binary, not hex string: the id
+    * id = first 128 bits of sha256 over a LENGTH-PREFIXED encoding of
+      (repo, path, commit) — "<len>:<field>" per field, NULL encoded as
+      "-" (no digit prefix, so it cannot collide with any real field) —
+      as binary(16).  Length-prefixing makes the encoding injective:
+      ('a b','c') and ('a','b c') hash differently, unlike a plain
+      space-join.  The analog of the reference's parsed string id
+      (src/parse_geodata.cpp:22-31).  Binary, not hex string: the id
       is the shuffle key of every downstream stage (bands, pairs,
       verify joins, connected components), and 16 opaque bytes shuffle
       and compare ~4x cheaper than a 64-char string.  128 bits keeps
@@ -39,9 +59,7 @@ def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         df.filter(F.col("content").isNotNull()
                   & (F.length("content") >= cfg.min_content_len))
         .select(
-            F.unhex(F.substring(
-                F.sha2(F.concat_ws(" ", "repo", "path", "commit"), 256),
-                1, 32)).alias("id"),
+            record_id().alias("id"),
             "repo", "path", "commit", "lang",
             F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
             F.regexp_replace(

@@ -29,7 +29,7 @@ from polyminhash_spark.operators.normalize import exact_groups, normalize
 from polyminhash_spark.operators.signatures import add_signatures
 from polyminhash_spark.operators.topk import topk_neighbors
 from polyminhash_spark.operators.verify import verify_pairs
-from polyminhash_spark.sources.catalog import StageCatalog
+from polyminhash_spark.sources.catalog import StageCatalog, source_fingerprint
 
 
 @dataclass
@@ -50,6 +50,9 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     cat = StageCatalog(spark, workdir) if workdir else None
     ch = cfg.config_hash()
     metrics: dict = {}
+    # content-aware input fingerprint: changed source data invalidates
+    # every downstream checkpoint even at equal row counts
+    src_fp = source_fingerprint(source) if cat is not None else "source"
 
     import time as _time
 
@@ -66,7 +69,8 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             df.count()
             metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
             return df
-        fps = [cat.fingerprint(i) or i for i in inputs]
+        fps = [src_fp if i == "source" else (cat.fingerprint(i) or i)
+               for i in inputs]
         cached = cat.load_if_valid(name, ch, fps)
         if cached is not None:
             metrics[f"{name}_resumed"] = True
@@ -135,6 +139,11 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         total = metrics["n_reps"] * (metrics["n_reps"] - 1) / 2
         metrics["pruning_ratio"] = (
             1.0 - metrics["n_candidates"] / total if total else 0.0)
+
+    if cat is not None and collect_metrics:
+        # run-level summary row in the queryable _metrics table (O24)
+        cat.append_metrics("pipeline", ch, rows=metrics.get("n_records"),
+                           extra=metrics)
 
     return PipelineResult(
         normalized=normalized, rep_map=rep_map, signed=signed,

@@ -138,14 +138,24 @@ def run_incremental_dedup(spark: SparkSession, stream_src: DataFrame,
                           sink_path: str, checkpoint_path: str,
                           trigger_once: bool = True):
     """Wire the streaming plan to a parquet sink via foreachBatch.
-    Returns the StreamingQuery (caller awaits termination)."""
+    Returns the StreamingQuery (caller awaits termination).
+
+    Delivery semantics: foreachBatch re-invokes the handler with the
+    SAME batch_id after a failure, so a plain append would double-write
+    (at-least-once).  The sink is made idempotent by partitioning on
+    batch_id with dynamic partition overwrite: a replayed batch
+    replaces its own partition instead of appending next to it, giving
+    effectively-once output under the checkpointLocation contract."""
     signed_stream = streaming_signatures(stream_src, cfg)
     static_cached = static_signed.persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = incremental_batch_dedup(batch_df, static_cached, cfg) \
             .withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(sink_path)
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_path))
 
     writer = (signed_stream.writeStream
               .foreachBatch(handle)

@@ -129,3 +129,55 @@ def test_salted_pairs_match_unsalted_clusters(spark):
     cold = run_pipeline(spark, src, CFG.with_(max_bucket_size=100_000),
                         collect_metrics=False)
     assert _cluster_set(hot) == _cluster_set(cold)
+
+
+def test_metrics_table_persisted_per_stage(spark, tmp_path):
+    """O24: every checkpointed stage appends one queryable row to the
+    workdir _metrics table; the run adds a 'pipeline' summary row."""
+    from polyminhash_spark.sources.catalog import StageCatalog
+
+    wd = str(tmp_path / "wdm")
+    src = corpus_spark_df(spark, CorpusParams(n_files=80, dup_frac=0.3, seed=4))
+    run_pipeline(spark, src, CFG, workdir=wd)
+
+    mt = StageCatalog(spark, wd).metrics_table()
+    assert mt is not None
+    assert mt.schema.simpleString() == (
+        "struct<stage:string,config_hash:string,rows:bigint,bytes:bigint,"
+        "n_files:bigint,n_partitions:bigint,wall_sec:double,"
+        "checksum:string,extra:map<string,string>>")
+    rows = {r.stage: r for r in mt.collect()}
+    expected = {"normalized", "exact_groups", "signatures", "candidates",
+                "verified", "clusters", "neighbors", "pipeline"}
+    assert set(rows) == expected
+    for stage in expected - {"pipeline"}:
+        r = rows[stage]
+        assert r.rows is not None and r.rows >= 0
+        assert r.bytes > 0 and r.n_files > 0
+        assert r.wall_sec > 0 and r.checksum is not None
+    assert "pruning_ratio" in rows["pipeline"].extra
+
+
+def test_changed_source_invalidates_checkpoints(spark, tmp_path):
+    """Content-aware lineage: re-running against DIFFERENT input data
+    with the SAME row count must recompute, not reuse stale stages."""
+    wd = str(tmp_path / "wds")
+    inp = str(tmp_path / "input.parquet")
+    corpus_spark_df(spark, CorpusParams(n_files=60, dup_frac=0.3, seed=1)) \
+        .write.mode("overwrite").parquet(inp)
+    r1 = run_pipeline(spark, spark.read.parquet(inp), CFG, workdir=wd,
+                      collect_metrics=False)
+    c1 = _cluster_set(r1)
+
+    # same row count, different contents
+    corpus_spark_df(spark, CorpusParams(n_files=60, dup_frac=0.3, seed=2)) \
+        .write.mode("overwrite").parquet(inp)
+    r2 = run_pipeline(spark, spark.read.parquet(inp), CFG, workdir=wd,
+                      collect_metrics=False)
+    assert r2.metrics.get("normalized_resumed") is None  # recomputed
+    assert _cluster_set(r2) != c1
+
+    # unchanged input still resumes
+    r3 = run_pipeline(spark, spark.read.parquet(inp), CFG, workdir=wd,
+                      collect_metrics=False)
+    assert r3.metrics.get("clusters_resumed") is True
