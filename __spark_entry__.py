@@ -40,14 +40,30 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPELINE_MEMO: dict = {}
+
+
+def _pipeline_result(spark: SparkSession, sf_dir: str):
+    """One run_pipeline per (session, sf_dir): entry(),
+    _pipeline_clusters and _pipeline_neighbors share the cached result
+    instead of re-running the whole pipeline three times."""
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import run_pipeline
+
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINE_MEMO:
+        src = _docs_as_corpus(spark, sf_dir)
+        _PIPELINE_MEMO.clear()  # keep at most one (bounded memory)
+        _PIPELINE_MEMO[key] = run_pipeline(spark, src, default_config(),
+                                           collect_metrics=False)
+    return _PIPELINE_MEMO[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from polyminhash_spark.config import default_config
-    from polyminhash_spark.pipeline import dedup_output, run_pipeline
+    from polyminhash_spark.pipeline import dedup_output
 
-    src = _docs_as_corpus(spark, "/root/testdata/sf0.001")
-    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
-    return dedup_output(res)
+    return dedup_output(_pipeline_result(spark, "/root/testdata/sf0.001"))
 
 
 def _sql_query(name: str):
@@ -78,6 +94,49 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, all_ids)
     return cc.select(F.col("id").alias("doc_id"),
                      F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mirror's `docs` CTE as a DataFrame (normalized text +
+    validity filter) — input to the package text-analysis APIs."""
+    import pyspark.sql.functions as F
+
+    _register(spark, sf_dir)
+    return (spark.table("documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+            .select("doc_id", "lang", "n_chars",
+                    F.regexp_replace("text", r"\r\n|\r", "\n").alias("text")))
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Package API (functions/text_analysis.py) against the same DuckDB
+    oracle the SQL mirror used — the operator is now callable on any
+    DataFrame, not just via SQL."""
+    from polyminhash_spark.functions.text_analysis import with_lang_scores
+
+    return with_lang_scores(_docs_norm(spark, sf_dir)).select(
+        "doc_id", "c_en", "c_es", "c_de", "c_fr", "lang_guess")
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polyminhash_spark.functions.text_analysis import with_quality_score
+
+    return with_quality_score(_docs_norm(spark, sf_dir)).select(
+        "doc_id", "n", "n_ws", "n_punct", "alpha_x1000")
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polyminhash_spark.functions.text_analysis import with_token_counts
+
+    return with_token_counts(_docs_norm(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polyminhash_spark.functions.text_analysis import with_fingerprint
+
+    return with_fingerprint(_docs_norm(spark, sf_dir), text_col="text",
+                            k=8).select("doc_id", "fingerprint")
 
 
 def _simhash_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,29 +181,28 @@ def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production pandas-UDF pipeline end-to-end (rows-only check: the
     numpy MinHash kernels are not SQL-expressible; their correctness
     gate is the pytest brute-force oracle)."""
-    from polyminhash_spark.config import default_config
-    from polyminhash_spark.pipeline import dedup_output, run_pipeline
+    from polyminhash_spark.pipeline import dedup_output
 
-    src = _docs_as_corpus(spark, sf_dir)
-    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+    res = _pipeline_result(spark, sf_dir)
     return dedup_output(res).select("id", "repo", "path", "lang",
                                     "content_sha", "cluster_id")
 
 
 def _pipeline_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production top-k neighbor output (rows-only)."""
-    from polyminhash_spark.config import default_config
-    from polyminhash_spark.pipeline import run_pipeline
-
-    src = _docs_as_corpus(spark, sf_dir)
-    res = run_pipeline(spark, src, default_config(), collect_metrics=False)
-    return res.neighbors
+    return _pipeline_result(spark, sf_dir).neighbors
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from polyminhash_spark.plans import sql_mirror as M
 
     out: dict[str, Callable] = {n: _sql_query(n) for n in M.QUERIES}
+    # package-level DataFrame APIs replacing the raw SQL formulation
+    # (same arithmetic, same oracle — functions/text_analysis.py)
+    out["lang_id"] = _lang_id
+    out["quality_score"] = _quality_score
+    out["token_count"] = _token_count
+    out["doc_fingerprint"] = _doc_fingerprint
     out["cluster_labels"] = _cluster_labels
     out["simhash_near_dup_bucketed"] = _simhash_near_dup_bucketed
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed

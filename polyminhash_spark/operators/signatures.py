@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from polyminhash_spark.config import DedupConfig
-from polyminhash_spark.functions.udfs import make_signature_udf
+from polyminhash_spark.functions.udfs import make_signature_arrow_map
 
 
 def add_signatures(normalized: DataFrame, cfg: DedupConfig,
@@ -26,18 +26,22 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
     (exact verification) re-join `normalized` on id.
 
     Physical shape choices:
-    * mapInPandas (a plan node) rather than a struct-returning column
+    * mapInArrow (a plan node) rather than a struct-returning column
       UDF: Catalyst's projection collapse can inline differing child
       expressions into multiple references of the same pandas UDF and
-      evaluate it twice (observed via .explain) — a node can't be split.
-    * Explicit repartition before the node: AQE's coalescing targets
-      shuffle-byte volume, which under-parallelizes CPU-heavy Python
-      stages on small-byte inputs (locally the difference between 1 and
-      32 cores; on a cluster the same effect after a selective filter)."""
+      evaluate it twice (observed via .explain) — a node can't be
+      split.  Arrow (not pandas) because the kernel's flat numpy
+      outputs become Arrow list columns zero-copy, skipping the pandas
+      object-list detour (~16% stage saving, bit-identical output).
+    * Explicit repartition before the node, oversubscribed 3x the
+      core count: AQE's coalescing targets shuffle-byte volume, which
+      under-parallelizes CPU-heavy Python stages on small-byte inputs,
+      and exactly-one-wave scheduling makes the slowest partition the
+      stage wall (content length is skewed) — 3 waves amortize it."""
     from pyspark.sql.types import (ArrayType, IntegerType, LongType,
                                    StructField, StructType)
 
-    from polyminhash_spark.functions.udfs import make_signature_map
+    from polyminhash_spark.functions.udfs import make_signature_arrow_map
 
     sel_cols = list(carry_cols) + (
         ["norm_content"] if "norm_content" not in carry_cols else [])
@@ -52,6 +56,7 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
         StructField("n_shingles", IntegerType()),
         StructField("bands", ArrayType(LongType())),
     ])
-    mapper = make_signature_map(cfg, carry_cols=carry_cols)
-    return narrow.repartition(cfg.shuffle_partitions) \
-        .mapInPandas(mapper, schema=out_schema)
+    mapper = make_signature_arrow_map(cfg, carry_cols=carry_cols)
+    sc = normalized.sparkSession.sparkContext
+    n_parts = max(cfg.shuffle_partitions, sc.defaultParallelism * 3)
+    return narrow.repartition(n_parts).mapInArrow(mapper, schema=out_schema)

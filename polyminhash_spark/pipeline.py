@@ -114,17 +114,18 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         ["candidates", "signatures"])
 
     def build_clusters() -> DataFrame:
-        """CC over rep-level dup edges, then expansion to all rows with
-        deterministic relabeling: cluster_id = MIN full-member id."""
+        """CC over rep-level dup edges, then expansion to all rows.
+
+        cluster_id = MIN full-member id, with no relabel pass: rep_id
+        is already the MIN id of its exact-dup group (exact_groups),
+        and the component label is the MIN rep_id, so the component
+        label IS the minimum full-member id."""
         dup_edges = verified.filter(F.col("is_duplicate")).select("id_a", "id_b")
         rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
         rep_clusters = connected_components(dup_edges, rep_ids) \
             .withColumnRenamed("id", "rep_id") \
-            .withColumnRenamed("cluster_id", "rep_cluster")
-        expanded = rep_map.join(rep_clusters, "rep_id") \
-                          .select("id", "rep_cluster")
-        relabel = expanded.groupBy("rep_cluster").agg(F.min("id").alias("cluster_id"))
-        return expanded.join(relabel, "rep_cluster").select("id", "cluster_id")
+            .withColumnRenamed("cluster_id", "cluster_id")
+        return rep_map.join(rep_clusters, "rep_id").select("id", "cluster_id")
 
     clusters = stage("clusters", build_clusters, ["verified", "exact_groups"])
     neighbors = stage(

@@ -52,23 +52,34 @@ def _load1() -> float:
     return os.getloadavg()[0]
 
 
-def run_level(cores: int, corpus: str) -> dict:
-    # the sandbox host has noisy neighbors (load >> 0 with zero container
-    # processes); wait for a quiet window so the measurement is honest
-    waited = 0
-    while _load1() > 4.0 and waited < 600:
-        time.sleep(15)
-        waited += 15
-    load_before = _load1()
-    code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus,
-                              parts=cores * 2)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=3600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
-    r["host_load_before"] = round(load_before, 1)
-    r["host_load_after"] = round(_load1(), 1)
-    return r
+def run_level(cores: int, corpus: str, repeats: int = 2) -> dict:
+    """Best-of-N wall time for one parallelism level.  The sandbox host
+    has noisy neighbors (load >> 0 with zero container processes), so a
+    single run has ~2x variance; the MIN over repeats is the honest
+    throughput estimate (interference only ever adds time).  Cleanliness
+    is judged on AMBIENT load (before each run) — the after-reading
+    always includes our own just-finished burst.  Threshold 1.5:
+    measured ambient 3.5 inflates a 32-core run 2.5-4x (it steals
+    cores AND memory bandwidth), so 4.0 was far too lenient."""
+    runs = []
+    for _ in range(repeats):
+        waited = 0
+        while _load1() > 1.5 and waited < 900:
+            time.sleep(15)
+            waited += 15
+        load_before = _load1()
+        code = RUN_SNIPPET.format(repo=REPO, cores=cores, corpus=corpus,
+                                  parts=cores * 2)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        r["host_load_before"] = round(load_before, 1)
+        runs.append(r)
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["all_wall_sec"] = [r["wall_sec"] for r in runs]
+    best["all_load_before"] = [r["host_load_before"] for r in runs]
+    return best
 
 
 def main() -> None:
@@ -83,8 +94,7 @@ def main() -> None:
 
     r8 = run_level(8, corpus)
     r32 = run_level(32, corpus)
-    clean = max(r8["host_load_before"], r8["host_load_after"],
-                r32["host_load_before"], r32["host_load_after"]) < 8.0
+    clean = max(r8["all_load_before"] + r32["all_load_before"]) < 2.0
     assert r8["clusters"] == r32["clusters"], "parallelism changed results!"
 
     tp8 = n_files / r8["wall_sec"]
@@ -94,10 +104,11 @@ def main() -> None:
         "n_files": n_files,
         "clusters": r32["clusters"],
         "wall_sec_8": r8["wall_sec"], "wall_sec_32": r32["wall_sec"],
+        "all_wall_sec_8": r8["all_wall_sec"],
+        "all_wall_sec_32": r32["all_wall_sec"],
         "files_per_sec_8": round(tp8, 1), "files_per_sec_32": round(tp32, 1),
         "scaling_efficiency_8_to_32": round(eff, 3),
-        "host_load": [r8["host_load_before"], r8["host_load_after"],
-                      r32["host_load_before"], r32["host_load_after"]],
+        "ambient_load_before_runs": r8["all_load_before"] + r32["all_load_before"],
         "clean_measurement": clean,
     }
     print(json.dumps(result))
@@ -115,12 +126,15 @@ signatures -> LSH banding -> tiered verify -> connected components) on
 identical input ({n_files:,} synthetic source files, seed 42), run at
 two parallelism levels on the same box; cores stand in for executors
 (no real cluster in this sandbox).  Cluster assignments identical at
-both levels ({r32['clusters']:,} clusters).
+both levels ({r32['clusters']:,} clusters).  Wall = best of
+{len(r8['all_wall_sec'])} runs per level (noisy shared host; ambient
+load checked before every run — interference only ever adds time, so
+the min is the honest throughput).
 
-| cores (executor proxy) | wall sec | files/sec |
-|---|---|---|
-| 8  (N)  | {r8['wall_sec']} | {tp8:,.1f} |
-| 32 (4N) | {r32['wall_sec']} | {tp32:,.1f} |
+| cores (executor proxy) | wall sec (best) | all runs | files/sec |
+|---|---|---|---|
+| 8  (N)  | {r8['wall_sec']} | {r8['all_wall_sec']} | {tp8:,.1f} |
+| 32 (4N) | {r32['wall_sec']} | {r32['all_wall_sec']} | {tp32:,.1f} |
 
 **Scaling efficiency = throughput_32 / (4 x throughput_8) = {eff:.3f}**
 (target >= 0.8 per BASELINE.json)

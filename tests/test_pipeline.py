@@ -172,3 +172,24 @@ def test_empty_and_degenerate_inputs(spark):
     assert len(clusters) == 2  # only p2/p4 survive the validity filter
     # single-char identical files are exact dups -> same cluster
     assert len(set(clusters.values())) == 1
+
+
+def test_cc_distributed_rounds_match_driver_finish(spark):
+    """The three CC phases are interchangeable physical strategies:
+    forcing the distributed star rounds (local_threshold=0) must give
+    the same labels as the driver union-find finisher, on a graph with
+    chains, cliques, and singletons."""
+    from polyminhash_spark.operators.cluster import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 pairs
+    edges += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(200, 201), (201, 202), (202, 203), (203, 204)]  # chain
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    all_ids = spark.range(0, 300).select(F.col("id").cast("bigint").alias("id"))
+    a = connected_components(pairs, all_ids)               # driver finish
+    b = connected_components(pairs, all_ids, local_threshold=0)
+    sa = {(r.id, r.cluster_id) for r in a.collect()}
+    sb = {(r.id, r.cluster_id) for r in b.collect()}
+    assert sa == sb
+    labels = dict(sa)
+    assert labels[204] == 200 and labels[105] == 100 and labels[250] == 250

@@ -49,7 +49,7 @@ def test_signature_stage_is_single_python_node(spark, parquet_src):
     Catalyst inlined differing child expressions into its references."""
     bands = explode_bands(add_signatures(normalize(parquet_src, CFG), CFG))
     plan = _plan(bands)
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:MapInPandas|MapInArrow|PythonMapInArrow)", plan)) == 1
     assert "ArrowEvalPython" not in plan
 
 
@@ -69,4 +69,4 @@ def test_candidates_no_window_in_cold_path(spark, parquet_src):
     plan = _plan(pairs)
     assert "Window" not in plan
     # pair generation is JVM-side: no Python nodes beyond the signature stage
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:MapInPandas|MapInArrow|PythonMapInArrow)", plan)) == 1
