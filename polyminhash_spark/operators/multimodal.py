@@ -2,12 +2,15 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed
 metadata; decode/feature-extraction runs as Arrow-batched
-`mapInPandas` so each Python worker sees whole record batches.  The
-decode kernels themselves are STUBBED (no image/audio libs in this
-container): `decoder="fake"` produces deterministic features from the
-bytes (sha-seeded), `decoder="real"` raises NotImplementedError at the
-call site where PIL/librosa would plug in.  The Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and tested.
+`mapInPandas` so each Python worker sees whole record batches.
+
+Decoders (operators/media_codecs.py): `decoder="real"` decodes
+PGM/PPM images (pure numpy netpbm parsing -> 4x4 mean-luma grid
+feature) and PCM WAV audio (stdlib `wave` -> 16-bucket RMS envelope)
+with NO external libraries; formats that genuinely need external
+codecs (JPEG/PNG/MP4) raise NotImplementedError naming the plug-in
+point.  `decoder="fake"` produces deterministic sha-seeded features so
+pipeline tests exercise real batch shapes without media fixtures.
 """
 
 from __future__ import annotations
@@ -65,18 +68,19 @@ def extract_features(media: DataFrame, decoder: str = "fake",
         raise ValueError(decoder)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polyminhash_spark.operators.media_codecs import real_decode_feature
+
         for pdf in it:
             n = len(pdf)
             feats = [None] * n
             shas = [None] * n
             sizes = np.zeros(n, dtype=np.int64)
             for i in range(n):
-                payload = pdf["payload"].iloc[i] or b""
+                payload = bytes(pdf["payload"].iloc[i] or b"")
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "real decoders (PIL/librosa/ffmpeg) are not available "
-                        "in this environment; plug in here")
-                feats[i] = _fake_decode(payload)
+                    feats[i] = real_decode_feature(payload, pdf["mime"].iloc[i])
+                else:
+                    feats[i] = _fake_decode(payload)
                 shas[i] = hashlib.sha256(payload).hexdigest()
                 sizes[i] = len(payload)
             yield pd.DataFrame({

@@ -28,6 +28,13 @@ def build_session(app_name: str = "polyminhash",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE re-plans joins from RUNTIME sizes; raising the adaptive
+        # threshold lets the narrow candidate-pair side broadcast into
+        # the wide signature table (the verify stage was observed
+        # flip-flopping between broadcast [~7s] and shuffle [~30s] of
+        # the 128-slot minhash arrays).  Runtime-sized => a genuinely
+        # large pair side still shuffles; 64m fits 4-8 GB executors.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -133,6 +133,40 @@ def streaming_repo_dedup_stats(stream_src: DataFrame, cfg: DedupConfig,
         GroupStateTimeout.NoTimeout)
 
 
+def streaming_dup_rate_windows(stream_src: DataFrame, cfg: DedupConfig,
+                               ts_col: str = "event_ts",
+                               window: str = "1 minute",
+                               watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed ingestion dup-rate with late-data handling:
+    per (window, repo), rows seen vs distinct normalized contents.
+
+    This is the watermark + windowed-aggregation face of the streaming
+    layer: `withWatermark` bounds state (windows older than the
+    watermark are finalized and their state dropped) and rows arriving
+    later than `watermark` past the max seen event time are discarded
+    — the standard Structured Streaming late-data contract.
+    `approx_count_distinct` keeps the per-window state O(1) (HLL
+    sketch) instead of a distinct-sha set, which is what survives at
+    web-scale ingest rates."""
+    withts = stream_src.filter(
+        F.col("content").isNotNull()
+        & (F.length("content") >= cfg.min_content_len))
+    norm = withts.select(
+        F.col(ts_col), "repo",
+        F.sha2(F.regexp_replace(
+            F.regexp_replace(F.col("content"), "^﻿", ""),
+            "\r\n|\r", "\n").cast("binary"), 256).alias("norm_sha"))
+    return (
+        norm.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("repo"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.approx_count_distinct("norm_sha").alias("n_distinct_approx"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"),
+                "repo", "n_rows", "n_distinct_approx")
+    )
+
+
 def run_incremental_dedup(spark: SparkSession, stream_src: DataFrame,
                           static_signed: DataFrame, cfg: DedupConfig,
                           sink_path: str, checkpoint_path: str,

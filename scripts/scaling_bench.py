@@ -10,7 +10,8 @@ IDENTICAL job on IDENTICAL input at local[8] and local[32] on the same
                = T_8 / (4 * T_32)
 
 Each parallelism level runs in its own subprocess (fresh JVM, no cache
-bleed).  Results land in BENCH/BASELINE.md.
+bleed).  Raw results append to BENCH/scaling_runs.jsonl; the curated
+analysis (bandwidth controls, Amdahl decomposition) is BENCH/BASELINE.md.
 
 Usage:  python scripts/scaling_bench.py [n_files]
 """
@@ -29,7 +30,8 @@ sys.path.insert(0, REPO)
 RUN_SNIPPET = """
 import json, sys, time, os
 sys.path.insert(0, {repo!r})
-os.environ.setdefault("POLYMINHASH_DRIVER_MEM", "48g")
+# default 8g heap: measured 3x FASTER at 32 cores than 48g on this box
+# (oversized heap wrecks GC geometry + page cache; see memory notes)
 from polyminhash_spark.session import build_session
 from polyminhash_spark.config import default_config
 from polyminhash_spark.pipeline import run_pipeline
@@ -112,38 +114,13 @@ def main() -> None:
         "clean_measurement": clean,
     }
     print(json.dumps(result))
-    if not (clean and "--write" in sys.argv):
-        # don't overwrite the curated BENCH/BASELINE.md with a run taken
-        # under noisy-neighbor load (or without explicit --write)
-        return
-
-    md = f"""# BENCH — measured numbers (this machine, 32 cores, PySpark 4.1.2 local mode)
-
-## Scaling efficiency N -> 4N (north_rule evidence)
-
-Identical job (full dedup pipeline: normalize -> exact-group -> MinHash
-signatures -> LSH banding -> tiered verify -> connected components) on
-identical input ({n_files:,} synthetic source files, seed 42), run at
-two parallelism levels on the same box; cores stand in for executors
-(no real cluster in this sandbox).  Cluster assignments identical at
-both levels ({r32['clusters']:,} clusters).  Wall = best of
-{len(r8['all_wall_sec'])} runs per level (noisy shared host; ambient
-load checked before every run — interference only ever adds time, so
-the min is the honest throughput).
-
-| cores (executor proxy) | wall sec (best) | all runs | files/sec |
-|---|---|---|---|
-| 8  (N)  | {r8['wall_sec']} | {r8['all_wall_sec']} | {tp8:,.1f} |
-| 32 (4N) | {r32['wall_sec']} | {r32['all_wall_sec']} | {tp32:,.1f} |
-
-**Scaling efficiency = throughput_32 / (4 x throughput_8) = {eff:.3f}**
-(target >= 0.8 per BASELINE.json)
-
-Reproduce: `python scripts/scaling_bench.py {n_files}`
-"""
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    if clean and "--write" in sys.argv:
+        # append the raw result to BENCH/scaling_runs.jsonl; the curated
+        # analysis (controls, Amdahl decomposition, methodology) lives in
+        # BENCH/BASELINE.md and is maintained by hand from these runs
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+            f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
