@@ -177,6 +177,28 @@ def _embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4, n_tables=32)
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment via the package operator
+    (operators/ivf.py: broadcast centroids + max_by argmax); oracle =
+    the windowed-argmax DuckDB mirror."""
+    from polyminhash_spark.operators.ivf import ivf_assign, seed_centroids
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivf_assign(emb, seed_centroids(emb, M.IVF_K))
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cell-restricted top-k via the package operator."""
+    from polyminhash_spark.operators.ivf import ivf_topk
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    return ivf_topk(spark.table("embeddings"), M.IVF_K, M.EMB_K,
+                    query_pred=f"vec_id < {M.EMB_QUERIES}")
+
+
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production pandas-UDF pipeline end-to-end (rows-only check: the
     numpy MinHash kernels are not SQL-expressible; their correctness
@@ -206,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cluster_labels"] = _cluster_labels
     out["simhash_near_dup_bucketed"] = _simhash_near_dup_bucketed
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
+    out["ivf_assign"] = _ivf_assign
+    out["ivf_topk"] = _ivf_topk
     out["pipeline_clusters"] = _pipeline_clusters
     out["pipeline_neighbors"] = _pipeline_neighbors
     return out
@@ -221,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
     # LSH regime (embeddings)
     out["simhash_near_dup_bucketed"] = M.duck_sql("simhash_near_dup")
     out["embedding_near_dup_bucketed"] = M.duck_sql("embedding_near_dup")
+    out["ivf_assign"] = M.q_ivf_assign(M.DUCK)
+    out["ivf_topk"] = M.q_ivf_topk(M.DUCK)
     # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
     # SQL-expressible — rows-only check (gate lives in tests/).
     return out

@@ -561,6 +561,51 @@ def q_embedding_near_dup(d: Dialect) -> str:
     )
 
 
+IVF_K = 16
+
+
+def q_ivf_assign(d: Dialect) -> str:
+    """IVF coarse-quantizer assignment: centroid set = the IVF_K
+    lowest-id vectors; each vector -> max-cosine centroid (floored
+    sim, ties to the lower centroid id).  Mirrors operators/ivf.py."""
+    dot = _dot(d, "e.embedding", "c.cv")
+    ne = _dot(d, "e.embedding", "e.embedding")
+    nc = _dot(d, "c.cv", "c.cv")
+    return (
+        "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv "
+        f"FROM embeddings ORDER BY vec_id LIMIT {IVF_K}), "
+        "scored AS (SELECT e.vec_id, c.centroid_id, "
+        f"cast(floor(({dot}) / (sqrt({ne}) * sqrt({nc})) * 1000000) as bigint) AS sim_x1m "
+        "FROM embeddings e CROSS JOIN cents c), "
+        "ranked AS (SELECT vec_id, centroid_id, sim_x1m, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim_x1m DESC, "
+        "centroid_id ASC) AS rn FROM scored) "
+        "SELECT vec_id, centroid_id, sim_x1m FROM ranked WHERE rn = 1"
+    )
+
+
+def q_ivf_topk(d: Dialect) -> str:
+    """IVF-flat probe (nprobe=1): exact-cosine top-k restricted to
+    same-cell co-members."""
+    dot = _dot(d, "q.embedding", "c.embedding")
+    nq = _dot(d, "q.embedding", "q.embedding")
+    nc = _dot(d, "c.embedding", "c.embedding")
+    return (
+        "WITH assign AS (" + q_ivf_assign(d) + "), "
+        "e AS (SELECT m.vec_id, m.embedding, a.centroid_id "
+        "FROM embeddings m JOIN assign a ON a.vec_id = m.vec_id), "
+        "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"cast(floor(({dot}) / (sqrt({nq}) * sqrt({nc})) * 1000000) as bigint) AS sim_x1m "
+        "FROM e q JOIN e c ON q.centroid_id = c.centroid_id "
+        f"AND q.vec_id != c.vec_id WHERE q.vec_id < {EMB_QUERIES}), "
+        "ranked AS (SELECT query_id, neighbor_id, sim_x1m, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim_x1m DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, sim_x1m, cast(rank as bigint) AS rank "
+        f"FROM ranked WHERE rank <= {EMB_K}"
+    )
+
+
 # --- connected components (duck side: recursive CTE oracle) -----------------
 
 def dup_pairs_sql(d: Dialect) -> str:

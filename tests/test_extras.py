@@ -159,3 +159,36 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     dup_found = got.filter("is_duplicate").count()
     assert expected_pairs > 0, "corpus produced no cross-set dups; weak test"
     assert dup_found == expected_pairs
+
+
+def test_ivf_topk_recall_and_plan(spark, emb):
+    """IVF-flat (nprobe=1): candidates restricted to coarse-quantizer
+    cells, with multi-probe (nprobe=2) recovering pairs that straddle a
+    Voronoi boundary.  Planted near-copies (cosine ~0.96) must be
+    recovered; the plan broadcasts the centroid table (no cartesian)."""
+    import numpy as np
+
+    from polyminhash_spark.operators.ivf import ivf_assign, ivf_topk, seed_centroids
+
+    assign = ivf_assign(emb, seed_centroids(emb, 8))
+    n = emb.count()
+    assert assign.count() == n                       # every vector assigned
+    assert assign.select("centroid_id").distinct().count() <= 8
+
+    rng = np.random.default_rng(21)
+    n_base, dim = 120, 64
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + rng.normal(scale=0.03, size=base.shape)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    rows += [(n_base + i, noisy[i].tolist()) for i in range(n_base)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = ivf_topk(df, k_centroids=8, top_k=3, nprobe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for i in range(n_base) if n_base + i in by_q.get(i, set()))
+    assert hits / n_base >= 0.9, hits / n_base
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # broadcast centroid join only
