@@ -192,3 +192,59 @@ def test_ivf_topk_recall_and_plan(spark, emb):
     assert hits / n_base >= 0.9, hits / n_base
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan  # broadcast centroid join only
+
+
+def test_incremental_sink_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch replays a batch with the SAME batch_id after a
+    failure; the dynamic-partition-overwrite sink must absorb the
+    replay instead of double-appending (effectively-once)."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.operators.signatures import add_signatures
+    from polyminhash_spark.operators.normalize import normalize
+    from polyminhash_spark.streaming.dedup_stream import incremental_batch_dedup
+
+    cfg = default_config()
+    rows = [("r", f"p{i}", f"c{i:040d}", "py", "shared content " * 10)
+            for i in range(4)]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    signed = add_signatures(
+        normalize(src, cfg), cfg,
+        carry_cols=("id", "repo", "path", "commit", "lang", "norm_content"))
+    sink = str(tmp_path / "sink")
+
+    def handle(batch_df, batch_id):
+        out = incremental_batch_dedup(batch_df, signed, cfg) \
+            .withColumn("batch_id", F.lit(batch_id))
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(sink))
+
+    handle(signed, 7)
+    once = spark.read.parquet(sink).count()
+    assert once > 0
+    handle(signed, 7)   # replay of the same batch
+    assert spark.read.parquet(sink).count() == once
+
+
+def test_pipeline_token_unit_end_to_end(spark):
+    """shingle_unit='token' wires through signatures -> clusters (the
+    factorized token kernel in the production Arrow path)."""
+    from polyminhash_spark.pipeline import run_pipeline
+
+    cfg = default_config().with_(shingle_unit="token", shingle_k=5)
+    rows = [("r", f"a{i}", f"c{i:040d}", "py",
+             "def shared(x):\n    return x + 1\n" + f"# tail {i}\n")
+            for i in range(6)]
+    rows += [("r", f"b{i}", f"d{i:040d}", "py", f"totally unique {i} " * 20)
+             for i in range(4)]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    res = run_pipeline(spark, src, cfg)
+    clusters = {r.id: r.cluster_id for r in res.clusters.collect()}
+    a_ids = {r.id for r in res.normalized.filter(
+        F.col("path").startswith("a")).select("id").collect()}
+    assert len({clusters[i] for i in a_ids}) == 1   # near-dups cluster
+    b_labels = [clusters[i] for i in set(clusters) - a_ids]
+    assert len(set(b_labels)) == len(b_labels)       # uniques stay singletons
