@@ -6,6 +6,8 @@
 
 Subcommands:
     run       full dedup pipeline (checkpointed + resumable via --workdir)
+    knn       query-set vs data-set top-k (the reference's two-file entry
+              shape: `spjoin data.wkt query.wkt k`, src/main.cpp:93-105)
     bench     synthetic-corpus throughput run (files/sec)
     gen       write a deterministic synthetic corpus parquet
 """
@@ -39,8 +41,35 @@ def cmd_run(args) -> int:
     res = run_pipeline(spark, src, cfg, workdir=args.workdir)
     out = dedup_output(res)
     out.write.mode("overwrite").parquet(args.out)
+    if args.neighbors_out:
+        import pyspark.sql.functions as F
+
+        res.neighbors.select(
+            F.lower(F.hex("query_id")).alias("query_id"),
+            F.lower(F.hex("neighbor_id")).alias("neighbor_id"),
+            "distance", "rank",
+        ).write.mode("overwrite").parquet(args.neighbors_out)
     res.metrics["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(res.metrics))
+    spark.stop()
+    return 0
+
+
+def cmd_knn(args) -> int:
+    """Reference entry shape A: `spjoin data.wkt query.wkt k`."""
+    from polyminhash_spark.operators.knn import knn_query
+    from polyminhash_spark.session import build_session
+
+    spark = build_session(app_name="polyminhash-knn", master=args.master)
+    cfg = _cfg_from_args(args).with_(top_k=args.k)
+    data = spark.read.parquet(args.data)
+    queries = spark.read.parquet(args.queries)
+    t0 = time.time()
+    out = knn_query(data, queries, cfg)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"neighbor_rows": n, "k": args.k,
+                      "wall_sec": round(time.time() - t0, 3)}))
     spark.stop()
     return 0
 
@@ -89,8 +118,18 @@ def main(argv=None) -> int:
     r.add_argument("--input", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--workdir", default=None)
+    r.add_argument("--neighbors-out", dest="neighbors_out", default=None)
     common(r)
     r.set_defaults(fn=cmd_run)
+
+    kq = sub.add_parser("knn", help="query set vs data set top-k "
+                                    "(reference two-file entry shape)")
+    kq.add_argument("--data", required=True)
+    kq.add_argument("--queries", required=True)
+    kq.add_argument("--out", required=True)
+    kq.add_argument("-k", "--topk", dest="k", type=int, default=10)
+    common(kq)
+    kq.set_defaults(fn=cmd_knn)
 
     g = sub.add_parser("gen", help="generate synthetic corpus parquet")
     g.add_argument("--out", required=True)
