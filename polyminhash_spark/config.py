@@ -33,6 +33,12 @@ class DedupConfig:
     # --- MinHash signature (O12) ---
     num_perm: int = 128
     seed: int = 100               # reference base seed (src/query.cpp:352)
+    # "oph" = one-permutation hashing + rotation densification
+    # (Shrivastava & Li 2014): O(N + P) per row — the scale kernel,
+    # ~2.3x faster end-to-end at P=128 with the same collision-prob ~
+    # Jaccard estimator (property-tested).  "perm" = classic P-pass
+    # permutation MinHash — the reference-fidelity kernel.
+    minhash_impl: str = "oph"
 
     # --- LSH banding (O14): num_perm must equal bands * rows_per_band ---
     bands: int = 32
@@ -71,6 +77,8 @@ class DedupConfig:
             )
         if self.shingle_unit not in ("char", "token"):
             raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
+        if self.minhash_impl not in ("perm", "oph"):
+            raise ValueError(f"bad minhash_impl {self.minhash_impl!r}")
 
     # Reference seed derivation: seed + band*123 + row*17
     # (reference src/query.cpp:427-429).  Permutation i belongs to band
@@ -98,7 +106,7 @@ def reference_config() -> DedupConfig:
     src/query.cpp:343,352).  min_band_matches=1 — the reference's pure
     OR-across-tables contract."""
     return DedupConfig(num_perm=2, bands=2, rows_per_band=1, seed=100,
-                       min_band_matches=1)
+                       min_band_matches=1, minhash_impl="perm")
 
 
 def default_config() -> DedupConfig:

@@ -35,12 +35,14 @@ def make_signature_udf(cfg: DedupConfig):
     bands, rows = cfg.bands, cfg.rows_per_band
     max_sh = cfg.max_shingles_per_doc
     seed_list = cfg.perm_seeds()
+    impl = cfg.minhash_impl
 
     @pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(content: pd.Series) -> pd.DataFrame:
         seeds = K.mixed_seeds(seed_list)  # per-batch allocation
         sig, simh, counts, bkeys = K.signature_batch(
-            content.tolist(), k, unit, max_sh, seeds, bands, rows)
+            content.tolist(), k, unit, max_sh, seeds, bands, rows,
+            impl=impl)
         sig_i = sig.view(np.int64)
         bk_i = bkeys.view(np.int64)
         return pd.DataFrame({
@@ -68,12 +70,14 @@ def make_signature_map(cfg: DedupConfig, content_col: str = "norm_content",
     bands, rows = cfg.bands, cfg.rows_per_band
     max_sh = cfg.max_shingles_per_doc
     seed_list = cfg.perm_seeds()
+    impl = cfg.minhash_impl
 
     def mapper(batches):
         seeds = K.mixed_seeds(seed_list)
         for pdf in batches:
             sig, simh, counts, bkeys = K.signature_batch(
-                pdf[content_col].tolist(), k, unit, max_sh, seeds, bands, rows)
+                pdf[content_col].tolist(), k, unit, max_sh, seeds, bands,
+                rows, impl=impl)
             out = {c: pdf[c].values for c in carry_cols}
             out["minhash"] = list(sig.view(np.int64))
             out["simhash"] = simh
@@ -99,13 +103,14 @@ def make_signature_arrow_map(cfg: DedupConfig,
     bands, rows = cfg.bands, cfg.rows_per_band
     max_sh = cfg.max_shingles_per_doc
     seed_list = cfg.perm_seeds()
+    impl = cfg.minhash_impl
 
     def mapper(batches):
         seeds = K.mixed_seeds(seed_list)
         for batch in batches:
             texts = batch.column(content_col).to_pylist()
             sig, simh, counts, bkeys = K.signature_batch(
-                texts, k, unit, max_sh, seeds, bands, rows)
+                texts, k, unit, max_sh, seeds, bands, rows, impl=impl)
             n = sig.shape[0]
             off_s = pa.array(
                 (np.arange(n + 1, dtype=np.int64) * sig.shape[1])

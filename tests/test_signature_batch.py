@@ -72,3 +72,56 @@ def test_exact_clone_relation_memoized_matches_unmemoized():
     assert K.exact_clone_relation(a, b, sa_cache=cache, key_a="a", key_b="b") \
         == "a_in_b"
     assert "b" in cache
+
+
+def test_oph_batch_matches_single_row_path():
+    """impl='oph' batch parity with the per-row oph_minhash kernel,
+    across grouping/giant-row/empty shapes."""
+    texts = ["hello world this is a test", "", "x",
+             "another document " * 50, "yet another " * 200]
+    sig, simh, counts, bkeys = K.signature_batch(
+        texts, CFG.shingle_k, "char", 1 << 18, SEEDS,
+        CFG.bands, CFG.rows_per_band, shingle_budget=64, impl="oph")
+    for i, t in enumerate(texts):
+        sh = K.shingles_for(t, CFG.shingle_k)
+        ref = K.oph_minhash(sh, SEEDS)
+        assert np.array_equal(sig[i], ref), i
+        assert counts[i] == sh.size
+        assert np.array_equal(
+            bkeys[i], K.band_keys(ref, CFG.bands, CFG.rows_per_band))
+    assert (sig[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_oph_collision_probability_tracks_jaccard():
+    """OPH + rotation densification stays an unbiased-ish Jaccard
+    estimator: mean slot agreement within 0.03 of true J."""
+    rng = np.random.default_rng(11)
+    for m, J in ((1000, 0.8), (1000, 0.3), (60, 0.7)):
+        # |A|=|B|=m with intersection giving jaccard ~J
+        inter = int(round(J * 2 * m / (1 + J)))
+        ests = []
+        for _ in range(25):
+            common = K.mix64(rng.integers(1, 2**63, inter, dtype=np.uint64))
+            ao = K.mix64(rng.integers(1, 2**63, m - inter, dtype=np.uint64))
+            bo = K.mix64(rng.integers(1, 2**63, m - inter, dtype=np.uint64))
+            A = np.unique(np.concatenate([common, ao]))
+            B = np.unique(np.concatenate([common, bo]))
+            sa, sb = K.oph_minhash(A, SEEDS), K.oph_minhash(B, SEEDS)
+            ests.append(float(np.mean(sa == sb)))
+        true_j = inter / (2 * m - inter)
+        assert abs(np.mean(ests) - true_j) < 0.03, (m, true_j, np.mean(ests))
+
+
+def test_oph_deterministic_and_set_function():
+    """Same set (any order/duplication) -> same signature."""
+    rng = np.random.default_rng(3)
+    A = K.mix64(rng.integers(1, 2**63, 500, dtype=np.uint64))
+    s1 = K.oph_minhash(A, SEEDS)
+    s2 = K.oph_minhash(A[::-1].copy(), SEEDS)
+    s3 = K.oph_minhash(np.concatenate([A, A[:100]]), SEEDS)
+    assert np.array_equal(s1, s2) and np.array_equal(s1, s3)
+    # sparse set exercises densification; still deterministic
+    tiny = A[:3]
+    assert np.array_equal(K.oph_minhash(tiny, SEEDS),
+                          K.oph_minhash(tiny[::-1].copy(), SEEDS))
+    assert not (K.oph_minhash(tiny, SEEDS) == K.EMPTY_SLOT).any()
