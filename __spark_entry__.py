@@ -177,6 +177,36 @@ def _embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4, n_tables=32)
 
 
+def _clone_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-clone classification on the mirror's candidate
+    pairs, through the PRODUCTION pandas-UDF verifier
+    (functions/udfs.make_verify_udf -> kernels.suffix_array /
+    sa_contains / exact_clone_relation).  Oracle: plain SQL substring
+    containment (instr/position) — the suffix-array path must agree
+    exactly with the definitional containment test."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.functions.udfs import make_verify_udf
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    pairs = spark.sql(M.spark_sql("candidates"))
+    docs = spark.sql(
+        "SELECT doc_id, regexp_replace(text, '\\r\\n|\\r', '\\n') AS text "
+        "FROM documents WHERE text IS NOT NULL AND length(text) >= 1")
+    j = (pairs
+         .join(docs.select(F.col("doc_id").alias("doc_a"),
+                           F.col("text").alias("text_a")), "doc_a")
+         .join(docs.select(F.col("doc_id").alias("doc_b"),
+                           F.col("text").alias("text_b")), "doc_b"))
+    verify = make_verify_udf(default_config().with_(jaccard_threshold=0.0))
+    return (j.withColumn(
+        "v", verify(F.col("doc_a").cast("string"), F.col("text_a"),
+                    F.col("doc_b").cast("string"), F.col("text_b")))
+        .select("doc_a", "doc_b", F.col("v.clone").alias("clone")))
+
+
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment via the package operator
     (operators/ivf.py: broadcast centroids + max_by argmax); oracle =
@@ -230,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
     out["ivf_assign"] = _ivf_assign
     out["ivf_topk"] = _ivf_topk
+    out["clone_relation"] = _clone_relation
     out["pipeline_clusters"] = _pipeline_clusters
     out["pipeline_neighbors"] = _pipeline_neighbors
     return out
@@ -247,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_near_dup_bucketed"] = M.duck_sql("embedding_near_dup")
     out["ivf_assign"] = M.q_ivf_assign(M.DUCK)
     out["ivf_topk"] = M.q_ivf_topk(M.DUCK)
+    out["clone_relation"] = M.q_clone_relation(M.DUCK)
     # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
     # SQL-expressible — rows-only check (gate lives in tests/).
     return out

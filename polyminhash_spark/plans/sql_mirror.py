@@ -561,6 +561,31 @@ def q_embedding_near_dup(d: Dialect) -> str:
     )
 
 
+def q_clone_relation(d: Dialect) -> str:
+    """Exact-clone relation per candidate pair: 'equal' | 'a_in_b' |
+    'b_in_a' | 'none' by plain substring containment — the definitional
+    oracle for the production suffix-array verifier (kernels.py
+    suffix_array/sa_contains; strictly-shorter containment only,
+    equality tested first, matching exact_clone_relation)."""
+    def contains(hay: str, needle: str) -> str:
+        if d.spark:
+            return f"instr({hay}, {needle}) > 0"
+        return f"position({needle} in {hay}) > 0"
+
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d), cte_perms(d),
+                 cte_minhash(d), cte_bands(d), cte_cands(d)) + (
+        "SELECT c.doc_a, c.doc_b, "
+        "CASE WHEN ga.text = gb.text THEN 'equal' "
+        "WHEN length(ga.text) < length(gb.text) AND "
+        + contains("gb.text", "ga.text") + " THEN 'a_in_b' "
+        "WHEN length(gb.text) < length(ga.text) AND "
+        + contains("ga.text", "gb.text") + " THEN 'b_in_a' "
+        "ELSE 'none' END AS clone "
+        "FROM cands c JOIN docs ga ON ga.doc_id = c.doc_a "
+        "JOIN docs gb ON gb.doc_id = c.doc_b"
+    )
+
+
 IVF_K = 16
 
 
