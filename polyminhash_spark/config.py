@@ -33,8 +33,10 @@ class DedupConfig:
     # --- MinHash signature (O12) ---
     num_perm: int = 128
     seed: int = 100               # reference base seed (src/query.cpp:352)
-    # "oph" = one-permutation hashing + rotation densification
-    # (Shrivastava & Li 2014): O(N + P) per row — the scale kernel,
+    # "oph" = one-permutation hashing (Shrivastava & Li 2014) with
+    # optimal (independent per-bin) densification (Shrivastava 2017;
+    # rotation densification rejected — see kernels.oph_minhash):
+    # O(N + P) per row — the scale kernel,
     # ~2.3x faster end-to-end at P=128 with the same collision-prob ~
     # Jaccard estimator (property-tested).  "perm" = classic P-pass
     # permutation MinHash — the reference-fidelity kernel.

@@ -226,8 +226,11 @@ def oph_minhash(shingles: np.ndarray, seeds_mixed: np.ndarray) -> np.ndarray:
         pending = np.arange(len(empty_idx))
         t = 0
         while pending.size and t < 8 * P:
+            # probe constant via Python-int wraparound (numpy scalar
+            # uint64 multiply emits RuntimeWarning on intended overflow)
+            tg = U64((t * _GOLDEN_INT) & _MASK64)
             probe = (mix64(seeds_mixed[empty_idx[pending]]
-                           ^ (U64(t) * _GOLDEN)) % U64(P)).astype(np.int64)
+                           ^ tg) % U64(P)).astype(np.int64)
             hit = ~empty[probe]
             src[pending[hit]] = probe[hit]
             pending = pending[~hit]

@@ -123,8 +123,7 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         dup_edges = verified.filter(F.col("is_duplicate")).select("id_a", "id_b")
         rep_ids = rep_map.select(F.col("rep_id").alias("id")).distinct()
         rep_clusters = connected_components(dup_edges, rep_ids) \
-            .withColumnRenamed("id", "rep_id") \
-            .withColumnRenamed("cluster_id", "cluster_id")
+            .withColumnRenamed("id", "rep_id")
         return rep_map.join(rep_clusters, "rep_id").select("id", "cluster_id")
 
     clusters = stage("clusters", build_clusters, ["verified", "exact_groups"])

@@ -47,30 +47,64 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 def _count_and_checksum(df: DataFrame) -> tuple[int, int]:
-    """One job: row count + order-independent content checksum
-    (xor of xxhash64 over every column of every row)."""
+    """One job: row count + order-independent content checksum.
+
+    Folds TWO commutative aggregates of xxhash64 — xor (bit-mixing but
+    cancels rows with even multiplicity) and sum (multiplicity-aware
+    but linear) — through blake2b, so neither aggregate's blind spot
+    survives.  The sum runs in decimal(38,0): Spark 4 ANSI mode makes a
+    bigint sum overflow a hard error instead of wrapping."""
+    hcols = F.xxhash64(*df.columns)
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(hcols), F.lit(0)).alias("h"),
+        F.coalesce(F.sum(hcols.cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    folded = hashlib.blake2b(
+        f"{int(row['h'])}:{int(row['s'])}".encode(), digest_size=8).digest()
+    return int(row["n"]), int.from_bytes(folded, "big")
 
 
 def source_fingerprint(df: DataFrame) -> str:
     """Fingerprint the raw pipeline input.  File-backed sources hash the
     sorted (path, size, mtime) listing — O(#files), no data scan, the
-    only viable option at 100 TB.  In-memory sources (tests) fall back
-    to the row-content checksum."""
+    only viable option at 100 TB.  `file:` URIs stat locally; any other
+    scheme (hdfs:, s3a:, ...) goes through the Hadoop FileSystem API
+    (FileStatus length + modificationTime), so overwriting a remote
+    file in place still invalidates downstream checkpoints.  Only if
+    BOTH lookups fail does a path degrade to listing-only (same-named
+    replacement would then be missed).  In-memory sources (tests) fall
+    back to the row-content checksum."""
+    from urllib.parse import unquote, urlparse
+
     files = sorted(df.inputFiles())
     h = hashlib.sha256()
     if files:
+        spark = df.sparkSession
+        jvm = hconf = None
         for f in files:
-            local = f[7:] if f.startswith("file:") else f
-            try:
-                st = os.stat(local)
-                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-            except OSError:
-                h.update(f.encode())  # non-local FS: path listing only
+            u = urlparse(f)
+            if u.scheme in ("", "file"):
+                try:
+                    st = os.stat(unquote(u.path) or f)
+                    h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+                    continue
+                except OSError:
+                    pass
+            else:
+                try:
+                    if jvm is None:
+                        jvm = spark._jvm
+                        hconf = spark._jsc.hadoopConfiguration()
+                    jpath = jvm.org.apache.hadoop.fs.Path(f)
+                    st = jpath.getFileSystem(hconf).getFileStatus(jpath)
+                    h.update(
+                        f"{f}:{st.getLen()}:{st.getModificationTime()}".encode())
+                    continue
+                except Exception:
+                    pass
+            h.update(f.encode())  # degraded: path listing only
         return "src:" + h.hexdigest()[:16]
     n, checksum = _count_and_checksum(df)
     return f"src:mem:{n}:{checksum & 0xFFFFFFFFFFFFFFFF:016x}"

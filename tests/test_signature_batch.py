@@ -93,8 +93,9 @@ def test_oph_batch_matches_single_row_path():
 
 
 def test_oph_collision_probability_tracks_jaccard():
-    """OPH + rotation densification stays an unbiased-ish Jaccard
-    estimator: mean slot agreement within 0.03 of true J."""
+    """OPH + optimal (independent per-bin) densification stays an
+    unbiased-ish Jaccard estimator: mean slot agreement within 0.03 of
+    true J."""
     rng = np.random.default_rng(11)
     for m, J in ((1000, 0.8), (1000, 0.3), (60, 0.7)):
         # |A|=|B|=m with intersection giving jaccard ~J
