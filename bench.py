@@ -74,6 +74,13 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # Quiet-gate BEFORE the mirror queries too (r2 lesson: the mirror
+    # phase ran ungated, so its per-query numbers were not comparable
+    # across rounds — e.g. an apparent verify 2.5 -> 8.9 s "regression"
+    # that was pure host load).
+    _wait_for_quiet()
+    load_before_queries = _load1()
+
     # headline SQL-mirror stages, pipelined: each stage materializes as a
     # cached view so the timing measures THAT operator, not a recompute
     # of the whole chain (matches how the real pipeline checkpoints).
@@ -125,7 +132,7 @@ def main() -> None:
     # own-load correction: this process contributes to loadavg; a run is
     # clean when ambient load (before the timed window) was low and the
     # after-reading is consistent with our own 32-thread burst
-    clean = load_before < 2.0
+    clean = load_before < 2.0 and load_before_queries < 2.0
 
     total = round(sum(timings.values()), 3)
     try:
@@ -135,6 +142,7 @@ def main() -> None:
     out = {
         "metric": "files/sec MinHash+LSH dedup throughput (end-to-end pipeline)",
         "host_load_1_5_15": load,  # shared host: see BENCH/BASELINE.md caveat
+        "host_load_before_queries": round(load_before_queries, 1),
         "host_load_before_pipeline": round(load_before, 1),
         "host_load_after_pipeline": round(load_after, 1),
         "clean_measurement": clean,

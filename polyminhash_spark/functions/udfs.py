@@ -18,8 +18,21 @@ from polyminhash_spark.config import DedupConfig
 from polyminhash_spark import kernels as K
 
 SIGNATURE_SCHEMA = (
-    "minhash array<bigint>, simhash bigint, n_shingles int, bands array<bigint>"
+    "minhash32 array<int>, simhash bigint, n_shingles int, bands array<bigint>"
 )
+
+
+def _sig32(sig: np.ndarray) -> np.ndarray:
+    """Low 32 bits of each signature slot, bit-pattern int32.
+
+    The est-tier verifier only tests slot EQUALITY; truncating 64 -> 32
+    bits adds a per-slot false-match probability of 2^-32 (zero flipped
+    tier decisions in any measured run) and halves the bytes the
+    signature attach joins shuffle per pair — the dominant shuffle
+    volume at scale.  Band keys stay 64-bit: bucket keys hash ~n*bands
+    rows into the key space, and a 32-bit space (4e9) would manufacture
+    megabuckets from random collisions at 1e11 rows."""
+    return (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
 VERIFY_SCHEMA = "jaccard double, clone string"
 
 
@@ -43,10 +56,9 @@ def make_signature_udf(cfg: DedupConfig):
         sig, simh, counts, bkeys = K.signature_batch(
             content.tolist(), k, unit, max_sh, seeds, bands, rows,
             impl=impl)
-        sig_i = sig.view(np.int64)
         bk_i = bkeys.view(np.int64)
         return pd.DataFrame({
-            "minhash": list(sig_i),
+            "minhash32": list(_sig32(sig)),
             "simhash": simh,
             "n_shingles": counts,
             "bands": list(bk_i),
@@ -79,7 +91,7 @@ def make_signature_map(cfg: DedupConfig, content_col: str = "norm_content",
                 pdf[content_col].tolist(), k, unit, max_sh, seeds, bands,
                 rows, impl=impl)
             out = {c: pdf[c].values for c in carry_cols}
-            out["minhash"] = list(sig.view(np.int64))
+            out["minhash32"] = list(_sig32(sig))
             out["simhash"] = simh
             out["n_shingles"] = counts
             out["bands"] = list(bkeys.view(np.int64))
@@ -122,15 +134,15 @@ def make_signature_arrow_map(cfg: DedupConfig,
             names = list(carry_cols)
             cols += [
                 pa.ListArray.from_arrays(
-                    off_s, pa.array(sig.reshape(-1).view(np.int64),
-                                    type=pa.int64())),
+                    off_s, pa.array(_sig32(sig).reshape(-1),
+                                    type=pa.int32())),
                 pa.array(simh, type=pa.int64()),
                 pa.array(counts, type=pa.int32()),
                 pa.ListArray.from_arrays(
                     off_b, pa.array(bkeys.reshape(-1).view(np.int64),
                                     type=pa.int64())),
             ]
-            names += ["minhash", "simhash", "n_shingles", "bands"]
+            names += ["minhash32", "simhash", "n_shingles", "bands"]
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return mapper

@@ -18,8 +18,15 @@ from polyminhash_spark.functions.udfs import make_signature_arrow_map
 
 def add_signatures(normalized: DataFrame, cfg: DedupConfig,
                    carry_cols: tuple = ("id",)) -> DataFrame:
-    """normalized -> (carry_cols..., minhash array<bigint>, simhash
+    """normalized -> (carry_cols..., minhash32 array<int>, simhash
     bigint, n_shingles int, bands array<bigint>).
+
+    minhash32 carries the low 32 bits of each 64-bit signature slot:
+    the only consumer is the est-tier slot-equality test in
+    operators/verify.py, and the truncation halves the bytes that
+    stage's attach joins shuffle per candidate pair (per-slot false
+    match 2^-32 — see functions/udfs._sig32).  Band keys are computed
+    from the FULL 64-bit slots inside the kernel and stay 64-bit.
 
     NARROW output: content is consumed for shingling but not shipped
     back through Arrow / the stage cache; consumers that need it
@@ -51,7 +58,7 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
     # later plan built from the same frame)
     carry_fields = [f for f in narrow.schema.fields if f.name in carry_cols]
     out_schema = StructType(carry_fields + [
-        StructField("minhash", ArrayType(LongType())),
+        StructField("minhash32", ArrayType(IntegerType())),
         StructField("simhash", LongType()),
         StructField("n_shingles", IntegerType()),
         StructField("bands", ArrayType(LongType())),

@@ -41,7 +41,7 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
     """pairs (id_a, id_b[, n_shared_bands]) -> verified pairs with
     (est_jaccard, hamming, jaccard, clone, is_duplicate).
 
-    `signed` is the narrow signature frame (id, minhash, simhash);
+    `signed` is the narrow signature frame (id, minhash32, simhash);
     `content` supplies (id, norm_content) for tier 3 — defaults to
     `signed` for callers that carried content through.
 
@@ -54,14 +54,18 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
     if "n_shared_bands" in pairs.columns and cfg.min_band_matches > 1:
         pairs = pairs.filter(F.col("n_shared_bands") >= cfg.min_band_matches)
     pairs = pairs.select("id_a", "id_b")
-    p = _attach(pairs, signed, "a", ["minhash", "simhash"])
-    p = _attach(p, signed, "b", ["minhash", "simhash"])
+    # minhash32 (not the 64-bit slots): the estimate is a slot-EQUALITY
+    # count, so the 32-bit truncation is semantically identical up to a
+    # 2^-32 per-slot false match — and these two joins are the largest
+    # array shuffle in the pipeline, so the bytes halve (udfs._sig32).
+    p = _attach(pairs, signed, "a", ["minhash32", "simhash"])
+    p = _attach(p, signed, "b", ["minhash32", "simhash"])
 
     p = p.withColumn(
         "est_jaccard",
         F.expr(
-            "aggregate(zip_with(minhash_a, minhash_b, (x, y) -> "
-            "if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(minhash_a)"
+            "aggregate(zip_with(minhash32_a, minhash32_b, (x, y) -> "
+            "if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(minhash32_a)"
         ),
     ).withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
 

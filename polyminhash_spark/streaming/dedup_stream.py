@@ -36,7 +36,7 @@ STREAM_CARRY = ("id", "repo", "path", "commit", "lang", "norm_content")
 
 def streaming_signatures(stream_src: DataFrame, cfg: DedupConfig) -> DataFrame:
     """input_hint-shaped streaming DataFrame -> signed streaming frame
-    (id, ..., norm_content, minhash, simhash, bands).  Stateless: valid
+    (id, ..., norm_content, minhash32, simhash, bands).  Stateless: valid
     in append mode.  Content is carried through (micro-batches are
     small) so foreachBatch verification needs no side lookup."""
     return add_signatures(normalize(stream_src, cfg), cfg,
