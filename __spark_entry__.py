@@ -229,6 +229,18 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     query_pred=f"vec_id < {M.EMB_QUERIES}")
 
 
+def _ivf_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF assignment (operators/ivf.ivf_lloyd_assign):
+    integer-arithmetic k-means refinement of the seed quantizer —
+    bit-exact against the generated DuckDB mirror (q_ivf_lloyd_duck)."""
+    from polyminhash_spark.operators.ivf import ivf_lloyd_assign
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    return ivf_lloyd_assign(spark.table("embeddings"), M.IVF_K,
+                            iters=M.LLOYD_ITERS, dim=M.EMB_DIM)
+
+
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production pandas-UDF pipeline end-to-end (rows-only check: the
     numpy MinHash kernels are not SQL-expressible; their correctness
@@ -260,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
     out["ivf_assign"] = _ivf_assign
     out["ivf_topk"] = _ivf_topk
+    out["ivf_lloyd_assign"] = _ivf_lloyd_assign
     out["clone_relation"] = _clone_relation
     out["pipeline_clusters"] = _pipeline_clusters
     out["pipeline_neighbors"] = _pipeline_neighbors
@@ -278,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_near_dup_bucketed"] = M.duck_sql("embedding_near_dup")
     out["ivf_assign"] = M.q_ivf_assign(M.DUCK)
     out["ivf_topk"] = M.q_ivf_topk(M.DUCK)
+    out["ivf_lloyd_assign"] = M.q_ivf_lloyd_duck()
     out["clone_relation"] = M.q_clone_relation(M.DUCK)
     # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
     # SQL-expressible — rows-only check (gate lives in tests/).

@@ -4,34 +4,54 @@ operators/similarity.py; the brief asks for "an IVF or LSH-bucketed
 variant" — this engine ships both).
 
 Structure:
-* coarse quantizer: a deterministic centroid set (by default the
-  vectors with the K lowest ids — seeded, reproducible, and cheaply
-  oracle-mirrored; a k-means refinement would slot in here without
-  changing the plan shape);
+* coarse quantizer: a deterministic seed centroid set (the K lowest-id
+  vectors) optionally refined by `lloyd_refine` — a fixed number of
+  Lloyd iterations in INTEGER arithmetic (embeddings quantized to
+  floor(x*1000); centroids are floor-divided per-dimension means), so
+  the refinement is a pure function of the input with a bit-exact
+  DuckDB mirror (plans/sql_mirror.q_ivf_lloyd_duck).  Seed-only
+  centroids skew badly on clustered data (one Voronoi cell swallows
+  the blob); Lloyd rebalances — tests/test_extras.py plants a skewed
+  blob and asserts the max cell shrinks and planted-pair recall holds;
 * assignment: every vector joins the BROADCAST centroid table (K is
-  small by construction) and keeps its max-cosine centroid via
-  `max_by` — one narrow shuffle-free pass, whole-stage codegen;
-* probe: top-k search restricted to same-cell co-members (nprobe=1),
-  exact cosine re-rank inside the cell.  Cells partition the corpus,
-  so the candidate volume is ~n^2/K instead of n^2 and the shuffle key
-  (centroid_id) is the physical partitioner — the classic IVF-flat
-  trade (recall bounded by cell boundaries; raise K or nprobe for
-  recall, lower for speed).
+  small by construction).  nprobe=1 keeps the max-cosine centroid via
+  a struct-max aggregation — map-side partial aggregation, no
+  window/sort anywhere (a window over n*K rows would shuffle+sort the
+  whole corpus).  nprobe>1 sorts the K scored centroids per vector
+  inside a collect_list (K elements, not a global sort) and slices;
+* probe: top-k search restricted to same-cell co-members, exact cosine
+  re-rank inside the cell.  Cells partition the corpus, so candidate
+  volume is ~n^2/K instead of n^2 and the shuffle key (centroid_id)
+  is the physical partitioner — the classic IVF-flat trade;
+* skew guard for the PAIR-GENERATION use (near-dup mining over cells):
+  `ivf_near_dup_pairs` feeds cells through the candidate_pairs
+  star/salt machinery (operators/candidates.py), so a hot cell is
+  capped at ~cell_n^2/salt_buckets pairs instead of cell_n^2 and is
+  never silently dropped.  For the TOP-K use the honest skew lever is
+  quantizer quality (Lloyd) — capping a cell there silently severs
+  query->neighbor edges.
 
 All arithmetic integer-floored (sim_x1m) so the DuckDB oracle applies
-identical cuts (driver queries `ivf_assign` / `ivf_topk`).
+identical cuts (driver queries `ivf_assign` / `ivf_topk` /
+`ivf_lloyd_assign`).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0 as double), (s, v) -> s + v)")
+
+
+def _sim_x1m(a: str, b: str) -> F.Column:
+    return F.floor(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+        * F.lit(1_000_000)).cast("bigint")
 
 
 def seed_centroids(data: DataFrame, k: int, id_col: str = "vec_id",
@@ -48,20 +68,35 @@ def ivf_assign_n(data: DataFrame, centroids: DataFrame, nprobe: int,
                  ) -> DataFrame:
     """(vec_id, centroid_id, sim_x1m, probe_rank <= nprobe): each
     vector's top-nprobe centroids by floored cosine, ties broken
-    toward the LOWER centroid_id (deterministic).  K centroids is
-    small, so the per-vector ranking stays a broadcast join + window
-    over K rows per vector."""
+    toward the LOWER centroid_id (deterministic).
+
+    No window function: nprobe=1 is a struct-max groupBy (map-side
+    partial aggregation, no sort); nprobe>1 sorts the K scored
+    centroids per vector inside the aggregated list (K is small by
+    construction) and slices — either way the full n*K scored relation
+    is never window-sorted."""
     d = data.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    joined = d.crossJoin(F.broadcast(centroids))
-    sim = F.floor(
-        _dot("v", "cv")
-        / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("cv", "cv")))
-        * F.lit(1_000_000)).cast("bigint")
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim_x1m").desc(),
-                                             F.col("centroid_id").asc())
-    return (joined.select("vec_id", "centroid_id", sim.alias("sim_x1m"))
-            .withColumn("probe_rank", F.row_number().over(w))
-            .filter(F.col("probe_rank") <= nprobe))
+    scored = (d.crossJoin(F.broadcast(centroids))
+              .select("vec_id", "centroid_id",
+                      _sim_x1m("v", "cv").alias("sim_x1m")))
+    if nprobe == 1:
+        # argmax via struct max: (sim, -centroid_id) orders by sim desc
+        # then centroid_id asc — identical tie-break to the old window
+        best = scored.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("sim_x1m"),
+                           (-F.col("centroid_id")).alias("ncid"))).alias("m"))
+        return best.select(
+            "vec_id", (-F.col("m.ncid")).alias("centroid_id"),
+            F.col("m.sim_x1m").alias("sim_x1m"),
+            F.lit(1).alias("probe_rank"))
+    top = scored.groupBy("vec_id").agg(
+        F.slice(F.sort_array(F.collect_list(
+            F.struct((-F.col("sim_x1m")).alias("nsim"),
+                     F.col("centroid_id")))), 1, nprobe).alias("top"))
+    return (top.select("vec_id", F.posexplode("top").alias("i", "s"))
+            .select("vec_id", F.col("s.centroid_id").alias("centroid_id"),
+                    (-F.col("s.nsim")).alias("sim_x1m"),
+                    (F.col("i") + 1).alias("probe_rank")))
 
 
 def ivf_assign(data: DataFrame, centroids: DataFrame,
@@ -73,17 +108,93 @@ def ivf_assign(data: DataFrame, centroids: DataFrame,
         .select("vec_id", "centroid_id", "sim_x1m")
 
 
+# ---------------------------------------------------------------------------
+# Deterministic integer-arithmetic Lloyd refinement
+# ---------------------------------------------------------------------------
+
+LLOYD_SCALE = 1000
+
+
+def int_embeddings(data: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   scale: int = LLOYD_SCALE) -> DataFrame:
+    """(vec_id, iv array<bigint>): embeddings quantized to
+    floor(double(x) * scale).  Every downstream dot product / norm /
+    per-dim sum is an exactly-representable integer in float64 (|x| <
+    1 here, 64 dims, corpus sums ~1e7 « 2^53), so cosine similarities
+    and centroid updates are bit-identical between Spark and DuckDB —
+    the property that makes `lloyd_refine` oracle-mirrorable."""
+    return data.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> "
+               f"cast(floor(cast(x as double) * {scale}) as bigint))"
+               ).alias("iv"))
+
+
+def lloyd_refine(data: DataFrame, k: int, iters: int = 2, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """(centroid_id, cv array<bigint>): `iters` Lloyd iterations over
+    the integer-quantized embeddings, seeded from the K lowest-id
+    vectors.  Update step: cv[j] = floor(sum(iv[j]) / count) over the
+    cell's members (cosine is scale-invariant, so the floored mean
+    preserves the exact-integer property for the next assignment);
+    a cell that loses all members keeps its previous centroid.
+
+    Plan shape: each iteration is one broadcast-join assignment (no
+    window) + one groupBy with `dim` partially-aggregated sums — the
+    per-dimension sums are columns of ONE aggregation, not an exploded
+    (centroid, dim) shuffle of n*dim rows.  At 100 TB you run this on
+    a deterministic hash-sample of the corpus; the refinement cost is
+    O(iters * n * K) dot products, all JVM-side."""
+    iv = int_embeddings(data, id_col, vec_col)
+    cents = (iv.orderBy("vec_id").limit(k)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("iv").alias("cv")))
+    for _ in range(iters):
+        assigned = ivf_assign(iv, cents, id_col="vec_id", vec_col="iv") \
+            .select("vec_id", "centroid_id")
+        sums = (iv.join(assigned, "vec_id")
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     *[F.sum(F.col("iv")[j]).alias(f"s{j}")
+                       for j in range(dim)]))
+        new = sums.select(
+            "centroid_id",
+            F.array(*[F.floor(F.col(f"s{j}") / F.col("cnt")).cast("bigint")
+                      for j in range(dim)]).alias("cv_new"))
+        cents = (cents.join(new, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce("cv_new", "cv").alias("cv")))
+    return cents
+
+
+def ivf_lloyd_assign(data: DataFrame, k: int, iters: int = 2,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id, sim_x1m): cell assignment against the
+    Lloyd-refined integer centroids — the production quantizer path,
+    bit-exact against the DuckDB mirror (q_ivf_lloyd_duck)."""
+    iv = int_embeddings(data, id_col, vec_col)
+    cents = lloyd_refine(data, k, iters, dim, id_col, vec_col)
+    return ivf_assign(iv, cents, id_col="vec_id", vec_col="iv")
+
+
 def ivf_topk(data: DataFrame, k_centroids: int, top_k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_pred: str | None = None, nprobe: int = 1) -> DataFrame:
+             query_pred: str | None = None, nprobe: int = 1,
+             centroids: DataFrame | None = None) -> DataFrame:
     """Cell-restricted exact-cosine top-k.  Data vectors live in their
     single max-cosine cell; the QUERY side probes its top-`nprobe`
     cells (multi-probe — the standard fix for Voronoi-boundary recall
     loss; a neighbor pair straddling a cell boundary is recovered by
     the query's second-closest cell).  Each (query, neighbor) pair
     appears at most once because a neighbor lives in exactly one cell.
-    query_pred optionally restricts the query side (e.g. 'vec_id < 120')."""
-    cents = seed_centroids(data, k_centroids, id_col, vec_col)
+    query_pred optionally restricts the query side (e.g. 'vec_id < 120');
+    `centroids` overrides the seed quantizer (pass lloyd_refine output
+    with vec_col-compatible arrays for the refined path)."""
+    cents = centroids if centroids is not None else \
+        seed_centroids(data, k_centroids, id_col, vec_col)
     d = data.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     data_assign = ivf_assign(data, cents, id_col, vec_col) \
         .select("vec_id", "centroid_id")
@@ -100,12 +211,63 @@ def ivf_topk(data: DataFrame, k_centroids: int, top_k: int,
     sims = (q.join(c, "centroid_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
-                    F.floor(_dot("qv", "cv2")
-                            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv2", "cv2")))
-                            * F.lit(1_000_000)).cast("bigint").alias("sim_x1m")))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim_x1m").desc(),
-                                               F.col("neighbor_id").asc())
-    return (sims.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select("query_id", "neighbor_id", "sim_x1m",
-                    F.col("rank").cast("bigint").alias("rank")))
+                    _sim_x1m("qv", "cv2").alias("sim_x1m")))
+    # per-query top-k: sort the candidate list inside the aggregation
+    # (cell-bounded, ~n/K elements) instead of window-sorting the whole
+    # candidate relation
+    top = sims.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.collect_list(
+            F.struct((-F.col("sim_x1m")).alias("nsim"),
+                     F.col("neighbor_id")))), 1, top_k).alias("top"))
+    return (top.select("query_id", F.posexplode("top").alias("i", "s"))
+            .select("query_id", F.col("s.neighbor_id").alias("neighbor_id"),
+                    (-F.col("s.nsim")).alias("sim_x1m"),
+                    (F.col("i") + 1).cast("bigint").alias("rank")))
+
+
+def ivf_near_dup_pairs(data: DataFrame, k_centroids: int,
+                       threshold_x1m: int, iters: int = 2, dim: int = 64,
+                       max_bucket_size: int = 1000, salt_buckets: int = 8,
+                       nprobe: int = 1,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """(vec_a, vec_b, sim_x1m): near-duplicate pairs mined within IVF
+    cells, with the cells fed through the candidate_pairs star/salt
+    machinery — a hot cell (skewed quantizer, duplicate blob) emits
+    O(cell_n * cell_n / salt_buckets) candidates instead of cell_n^2
+    and is never silently dropped (connectivity floor via star edges).
+    Candidates are verified by exact floored cosine >= threshold_x1m.
+
+    Recall contract: a pair in the SAME cell is linked (directly under
+    the cap, transitively via star/salt above it — provided the bucket
+    is a genuine dup crowd, so star edges survive the cosine verify);
+    a pair straddling a Voronoi boundary is missed — the same trade an
+    LSH band miss makes.  nprobe > 1 would catch straddlers but
+    doubles every bucket with second-choice members that are NOT
+    near-dups of the crowd, so over-cap star edges fail verification
+    and connectivity degrades (measured: planted-pair linkage dropped
+    17/18 -> 6/18 on the skew fixture) — hence the nprobe=1 default;
+    raise it only with caps sized for the doubled, mixed buckets.
+
+    This is the pair-generation (dedup) use of IVF; for top-k search
+    use ivf_topk, where capping a cell would sever recall instead of
+    bounding it."""
+    from polyminhash_spark.operators.candidates import candidate_pairs
+
+    cents = lloyd_refine(data, k_centroids, iters, dim, id_col, vec_col)
+    iv = int_embeddings(data, id_col, vec_col)
+    assign = ivf_assign_n(iv, cents, nprobe, id_col="vec_id", vec_col="iv")
+    bands_df = assign.select(F.col("vec_id").alias("id"),
+                             F.lit(0).alias("band"),
+                             F.col("centroid_id").alias("band_key"))
+    pairs, _stats = candidate_pairs(bands_df, max_bucket_size, salt_buckets)
+    d = data.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    withv = (pairs.select(F.col("id_a").alias("vec_a"),
+                          F.col("id_b").alias("vec_b"))
+             .join(d.select(F.col("vec_id").alias("vec_a"),
+                            F.col("v").alias("va")), "vec_a")
+             .join(d.select(F.col("vec_id").alias("vec_b"),
+                            F.col("v").alias("vb")), "vec_b"))
+    return (withv.select("vec_a", "vec_b",
+                         _sim_x1m("va", "vb").alias("sim_x1m"))
+            .filter(F.col("sim_x1m") >= threshold_x1m))

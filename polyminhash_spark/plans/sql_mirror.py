@@ -631,6 +631,67 @@ def q_ivf_topk(d: Dialect) -> str:
     )
 
 
+LLOYD_ITERS = 2
+LLOYD_SCALE = 1000
+EMB_DIM = 64
+
+
+def q_ivf_lloyd_duck() -> str:
+    """DuckDB mirror of operators/ivf.ivf_lloyd_assign: IVF_K seed
+    centroids refined by LLOYD_ITERS Lloyd iterations, all in integer
+    arithmetic (embeddings quantized to floor(double(x)*1000);
+    centroid update = per-dimension floor(sum/count)), then the final
+    cell assignment.  Every dot product, norm, and per-dim sum is an
+    exactly-representable integer in float64 at this data scale, so
+    the floored cosines match the Spark DataFrame operator bit-for-bit
+    — the oracle that certifies the production quantizer."""
+    dim = EMB_DIM
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{j+1}]*{b}[{j+1}]" for j in range(dim))
+
+    def assign(c_t: str, name: str) -> str:
+        return (
+            f"{name}_scored AS (SELECT v.vec_id, c.centroid_id, "
+            f"cast(floor(cast(({dot('v.iv', 'c.cv')}) as double) / "
+            f"(sqrt(cast(({dot('v.iv', 'v.iv')}) as double)) * "
+            f"sqrt(cast(({dot('c.cv', 'c.cv')}) as double))) * 1000000) "
+            f"as bigint) AS sim_x1m FROM iv v CROSS JOIN {c_t} c), "
+            f"{name} AS (SELECT vec_id, centroid_id, sim_x1m FROM ("
+            f"SELECT vec_id, centroid_id, sim_x1m, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY sim_x1m DESC, centroid_id ASC"
+            f") AS rn FROM {name}_scored) t WHERE rn = 1)")
+
+    def update(a_t: str, c_prev: str, name: str) -> str:
+        sums = ", ".join(f"sum(v.iv[{j+1}]) AS s{j}" for j in range(dim))
+        newcv = ", ".join(
+            f"cast(floor(cast(s{j} as double) / cnt) as bigint)"
+            for j in range(dim))
+        return (
+            f"{name}_sums AS (SELECT a.centroid_id, count(*) AS cnt, {sums} "
+            f"FROM iv v JOIN {a_t} a USING (vec_id) GROUP BY a.centroid_id), "
+            f"{name} AS (SELECT p.centroid_id, "
+            f"coalesce(n.cv_new, p.cv) AS cv FROM {c_prev} p LEFT JOIN "
+            f"(SELECT centroid_id, [{newcv}] AS cv_new FROM {name}_sums) n "
+            f"USING (centroid_id))")
+
+    ctes = [
+        ("iv AS (SELECT vec_id, list_transform(embedding, x -> "
+         f"cast(floor(cast(x as double) * {LLOYD_SCALE}) as bigint)) AS iv "
+         "FROM embeddings)"),
+        (f"c0 AS (SELECT vec_id AS centroid_id, iv AS cv FROM iv "
+         f"ORDER BY vec_id LIMIT {IVF_K})"),
+    ]
+    prev = "c0"
+    for i in range(LLOYD_ITERS):
+        ctes.append(assign(prev, f"a{i}"))
+        ctes.append(update(f"a{i}", prev, f"c{i+1}"))
+        prev = f"c{i+1}"
+    ctes.append(assign(prev, "final_assign"))
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT vec_id, centroid_id, sim_x1m FROM final_assign")
+
+
 # --- connected components (duck side: recursive CTE oracle) -----------------
 
 def dup_pairs_sql(d: Dialect) -> str:
