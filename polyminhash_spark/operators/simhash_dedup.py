@@ -61,11 +61,21 @@ def simhash_near_dup_pairs(df: DataFrame, hamming_max: int = 3,
     banding — never an all-pairs join.
 
     max_bucket_size defaults high here: chunk values are coarse (few
-    distinct values when chunks are narrow), and completeness of the
-    pigeonhole argument only survives salting for pairs that agree on
-    a *salted* chunk if they also share a sub-bucket or the star hub —
-    keep the cap at the largest bucket the cluster can verify, and
-    narrow it only when the salted recall trade-off is acceptable."""
+    distinct values when chunks are narrow), and the pigeonhole
+    completeness guarantee holds only BELOW the cap.  Above it, a pair
+    whose sole agreeing chunk is the over-cap bucket is found only via
+    a shared salt sub-bucket (the star hub contributes nothing: for a
+    random crowd, hub-member hamming ~B/2 fails the verify), so
+    per-pair recall degrades to ~1/salt_buckets per shared over-cap
+    chunk — MEASURED 0.18 (expected 0.125, salt_buckets=8) on an
+    engineered 650-member over-cap bucket with 50 planted hamming-3
+    pairs vs the all-pairs oracle; recall is 1.0 for the same fixture
+    under the cap (tests/test_bucketed_dedup.py::
+    test_salted_simhash_overcap_recall_measured, which also records
+    the bound to the _metrics table).  At 1e11 rows every 16-bit chunk
+    bucket is ~1.5M members, so this regime is the norm: keep the cap
+    at the largest bucket the cluster can verify, widen chunks (raise
+    bits / lower hamming_max), or accept the measured recall floor."""
     chunks = simhash_chunks(df, bits, hamming_max, id_col, sim_col)
     pairs, _ = candidate_pairs(chunks, max_bucket_size, salt_buckets)
     sim = df.select(F.col(id_col).alias("id"), F.col(sim_col).alias("s"))

@@ -105,3 +105,71 @@ def test_embedding_near_dup_bucketed_matches_all_pairs_oracle(spark):
     oracle = {(a, b, s) for a, b, s in
               con.execute(M.duck_sql("embedding_near_dup")).fetchall()}
     assert {(r.vec_a, r.vec_b, r.sim_x1m) for r in got.collect()} == oracle
+
+
+def test_salted_simhash_overcap_recall_measured(spark, tmp_path):
+    """Quantifies the completeness loss of pigeonhole SimHash when a
+    chunk bucket exceeds the cap (the r2 'unmeasured trade' finding).
+
+    Fixture: 64-bit signatures, hamming_max=3 -> four 16-bit chunks.
+    A 600-member crowd shares chunk 0 (low 16 bits) with random high
+    bits; 50 planted pairs differ by exactly one bit in each of chunks
+    1-3 (hamming 3), so their ONLY pigeonhole route is the over-cap
+    chunk-0 bucket.  Under cap the plan is complete (sanity-checked);
+    over cap the star hub contributes nothing after the hamming verify
+    (hub-member distances are ~24 bits), leaving only same-salt
+    sub-bucket hits: expected recall ~= 1/salt_buckets.  The measured
+    number is recorded to the queryable _metrics table."""
+    import numpy as np
+
+    from polyminhash_spark.operators.simhash_dedup import simhash_near_dup_pairs
+    from polyminhash_spark.sources.catalog import StageCatalog
+
+    rng = np.random.default_rng(5)
+    base_low, n_crowd, n_planted = 0x1234, 600, 50
+    highs = np.unique(rng.integers(1, 1 << 46, n_crowd * 2))[:n_crowd]
+    sigs = [int((int(h) << 16) | base_low) for h in highs]
+    planted = []
+    for i in range(n_planted):
+        # partner: flip bit 16+2 (chunk 1), 32+5 (chunk 2), 48+9 (chunk 3)
+        b = sigs[i] ^ (1 << 18) ^ (1 << 37) ^ (1 << 57)
+        planted.append((i, n_crowd + i))
+        sigs.append(b)
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, ["id", "simhash"])
+
+    # exact all-pairs oracle (numpy popcount over the xor matrix)
+    a = np.array(sigs, dtype=np.uint64)
+    x = a[:, None] ^ a[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for j in range(64):
+        ham += ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(sigs), k=1)
+    oracle = {(int(i), int(j)) for i, j in zip(*[idx[ham[iu] <= 3]
+              for idx in iu])}
+    assert set(planted) <= oracle
+
+    # sanity: cap above the crowd -> pigeonhole completeness holds
+    complete = simhash_near_dup_pairs(df, 3, 64, max_bucket_size=10_000)
+    got_c = {(r.id_a, r.id_b) for r in complete.collect()}
+    assert got_c == oracle
+
+    # over-cap: 650-member chunk-0 bucket vs cap 100, salt 8
+    salted = simhash_near_dup_pairs(df, 3, 64, max_bucket_size=100,
+                                    salt_buckets=8)
+    got_s = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert got_s <= oracle  # exact verify: no false positives ever
+    recall = len(got_s & oracle) / len(oracle)
+    # expected ~1/salt_buckets = 0.125; deterministic given ids (xxhash
+    # salt assignment), measured 0.18 on this fixture
+    assert 0.03 <= recall <= 0.4, recall
+
+    # record the measured bound in the queryable _metrics table
+    cat = StageCatalog(spark, str(tmp_path))
+    cat.append_metrics("simhash_salted_recall", "measurement",
+                       rows=len(oracle),
+                       extra={"recall": f"{recall:.4f}",
+                              "salt_buckets": 8, "max_bucket_size": 100,
+                              "overcap_bucket_n": 650})
+    m = cat.metrics_table().filter("stage = 'simhash_salted_recall'").collect()
+    assert len(m) == 1 and float(m[0]["extra"]["recall"]) == round(recall, 4)
