@@ -8,8 +8,11 @@ queries()       — one entry per implemented operator (SURVEY.md §2):
                   arithmetic, see polyminhash_spark/plans/sql_mirror.py)
                   plus DataFrame-native operators (connected components)
                   checked against a DuckDB recursive-CTE oracle, plus
-                  rows-only entries for the production pandas-UDF path.
-oracle_sql()    — DuckDB equivalents for every SQL-expressible query.
+                  the production numpy-kernel pipeline end-to-end
+                  checked against the generated DuckDB kernel mirror
+                  (plans/kernel_mirror.py).
+oracle_sql()    — DuckDB equivalents for EVERY query (no rows-only
+                  entries left).
 """
 
 from __future__ import annotations
@@ -43,18 +46,22 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_MEMO: dict = {}
 
 
-def _pipeline_result(spark: SparkSession, sf_dir: str):
-    """One run_pipeline per (session, sf_dir): entry(),
-    _pipeline_clusters and _pipeline_neighbors share the cached result
-    instead of re-running the whole pipeline three times."""
+def _pipeline_result(spark: SparkSession, sf_dir: str, which: str = "default"):
+    """One run_pipeline per (session, sf_dir, config): entry() runs the
+    default config; _pipeline_clusters and _pipeline_neighbors share a
+    mirror-config run (same production code, num_perm=8 so the DuckDB
+    kernel mirror stays tractable) instead of re-running twice."""
     from polyminhash_spark.config import default_config
     from polyminhash_spark.pipeline import run_pipeline
+    from polyminhash_spark.plans.kernel_mirror import mirror_config
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, which)
     if key not in _PIPELINE_MEMO:
         src = _docs_as_corpus(spark, sf_dir)
-        _PIPELINE_MEMO.clear()  # keep at most one (bounded memory)
-        _PIPELINE_MEMO[key] = run_pipeline(spark, src, default_config(),
+        cfg = default_config() if which == "default" else mirror_config()
+        if len(_PIPELINE_MEMO) > 2:
+            _PIPELINE_MEMO.clear()  # bounded memory
+        _PIPELINE_MEMO[key] = run_pipeline(spark, src, cfg,
                                            collect_metrics=False)
     return _PIPELINE_MEMO[key]
 
@@ -242,19 +249,32 @@ def _ivf_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production pandas-UDF pipeline end-to-end (rows-only check: the
-    numpy MinHash kernels are not SQL-expressible; their correctness
-    gate is the pytest brute-force oracle)."""
+    """Production numpy-kernel pipeline END-TO-END (normalize -> exact
+    groups -> mapInArrow signature kernel -> LSH candidates -> tiered
+    verify UDF -> connected components -> expansion), run with the
+    mirror config (num_perm=8, perm kernel) — checked BIT-EXACT against
+    the generated DuckDB kernel mirror (plans/kernel_mirror.py: 32-bit
+    limb uint64 arithmetic, rolling FNV + fmix64, recursive-CTE CC)."""
+    import pyspark.sql.functions as F
+
     from polyminhash_spark.pipeline import dedup_output
 
-    res = _pipeline_result(spark, sf_dir)
-    return dedup_output(res).select("id", "repo", "path", "lang",
-                                    "content_sha", "cluster_id")
+    res = _pipeline_result(spark, sf_dir, "mirror")
+    return dedup_output(res).select(
+        "id", "repo", "path", "commit", "lang", "content_sha",
+        F.col("n_chars").cast("bigint").alias("n_chars"), "cluster_id")
 
 
 def _pipeline_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production top-k neighbor output (rows-only)."""
-    return _pipeline_result(spark, sf_dir).neighbors
+    """Production top-k neighbor output (mirror config) — bit-exact
+    against the kernel mirror's symmetrized window rank."""
+    import pyspark.sql.functions as F
+
+    res = _pipeline_result(spark, sf_dir, "mirror")
+    return res.neighbors.select(
+        F.lower(F.hex("query_id")).alias("query_id"),
+        F.lower(F.hex("neighbor_id")).alias("neighbor_id"),
+        "distance", F.col("rank").cast("bigint").alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -293,6 +313,10 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_topk"] = M.q_ivf_topk(M.DUCK)
     out["ivf_lloyd_assign"] = M.q_ivf_lloyd_duck()
     out["clone_relation"] = M.q_clone_relation(M.DUCK)
-    # pipeline_clusters / pipeline_neighbors: numpy-kernel path, not
-    # SQL-expressible — rows-only check (gate lives in tests/).
+    # the production numpy-kernel pipeline, mirrored bit-exact in
+    # DuckDB via 32-bit-limb uint64 arithmetic (plans/kernel_mirror.py)
+    from polyminhash_spark.plans import kernel_mirror as KM
+
+    out["pipeline_clusters"] = KM.pipeline_clusters_duck()
+    out["pipeline_neighbors"] = KM.pipeline_neighbors_duck()
     return out
