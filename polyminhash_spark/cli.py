@@ -36,7 +36,14 @@ def cmd_run(args) -> int:
 
     spark = build_session(app_name="polyminhash-run", master=args.master)
     cfg = _cfg_from_args(args)
-    src = spark.read.parquet(args.input)
+    if args.input_format == "text":
+        from polyminhash_spark.sources.text_source import read_text_records
+
+        src = read_text_records(spark, args.input,
+                                delimiter=args.text_delimiter,
+                                with_id=not args.no_record_ids)
+    else:
+        src = spark.read.parquet(args.input)
     t0 = time.time()
     res = run_pipeline(spark, src, cfg, workdir=args.workdir)
     out = dedup_output(res)
@@ -116,6 +123,14 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("run", help="full dedup pipeline")
     r.add_argument("--input", required=True)
+    r.add_argument("--input-format", dest="input_format", default="parquet",
+                   choices=("parquet", "text"),
+                   help="text = one record per line, '<id>\\t<payload>' "
+                        "(the reference's native WKT/TSV input)")
+    r.add_argument("--text-delimiter", dest="text_delimiter", default="\t")
+    r.add_argument("--no-record-ids", dest="no_record_ids",
+                   action="store_true",
+                   help="text lines carry no id field; use line numbers")
     r.add_argument("--out", required=True)
     r.add_argument("--workdir", default=None)
     r.add_argument("--neighbors-out", dest="neighbors_out", default=None)
