@@ -55,6 +55,17 @@ class DedupConfig:
     # random-collision pair volume ~30x BEFORE any signature shuffle.
     min_band_matches: int = 2
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
+    # est_tier=False drops the tier-1 signature-estimate entirely: no
+    # minhash32 attach joins (the last array shuffle in the pipeline),
+    # relying on tier-0 band counts + the SimHash tier to gate the
+    # exact-verify UDF.  Measured: clusters bit-identical either way
+    # (SimHash ham<=16 prunes almost as hard — n_verified 28,767 vs
+    # 28,769 at 300k), but ON is faster end-to-end (60.2 vs 66.1 s at
+    # 300k/32c, same load window; tied at 100k) — the est cut saves
+    # more Python-UDF work than its 512 B/pair attach costs.  Flip to
+    # False only when shuffle bytes, not CPU, bind (e.g. network-tight
+    # clusters with cheap executors).
+    est_tier: bool = True
     simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
     jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
     top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)

@@ -58,20 +58,27 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
     # count, so the 32-bit truncation is semantically identical up to a
     # 2^-32 per-slot false match — and these two joins are the largest
     # array shuffle in the pipeline, so the bytes halve (udfs._sig32).
-    p = _attach(pairs, signed, "a", ["minhash32", "simhash"])
-    p = _attach(p, signed, "b", ["minhash32", "simhash"])
+    # est_tier=False skips the array attach entirely (config rationale).
+    sig_cols = ["minhash32", "simhash"] if cfg.est_tier else ["simhash"]
+    p = _attach(pairs, signed, "a", sig_cols)
+    p = _attach(p, signed, "b", sig_cols)
 
-    p = p.withColumn(
-        "est_jaccard",
-        F.expr(
-            "aggregate(zip_with(minhash32_a, minhash32_b, (x, y) -> "
-            "if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(minhash32_a)"
-        ),
-    ).withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
+    if cfg.est_tier:
+        p = p.withColumn(
+            "est_jaccard",
+            F.expr(
+                "aggregate(zip_with(minhash32_a, minhash32_b, (x, y) -> "
+                "if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(minhash32_a)"
+            ),
+        )
+    else:
+        p = p.withColumn("est_jaccard", F.lit(None).cast("double"))
+    p = p.withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
 
+    est_ok = (F.col("est_jaccard") >= cfg.prefilter_estimate) if cfg.est_tier \
+        else F.lit(True)
     survivors = p.filter(
-        (F.col("est_jaccard") >= cfg.prefilter_estimate)
-        & (F.col("hamming") <= cfg.simhash_hamming_max)
+        est_ok & (F.col("hamming") <= cfg.simhash_hamming_max)
     ).select("id_a", "id_b", "est_jaccard", "hamming")
 
     verify = make_verify_udf(cfg)

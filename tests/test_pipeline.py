@@ -193,3 +193,27 @@ def test_cc_distributed_rounds_match_driver_finish(spark):
     assert sa == sb
     labels = dict(sa)
     assert labels[204] == 200 and labels[105] == 100 and labels[250] == 250
+
+
+def test_est_tier_off_identical_clusters(spark):
+    """est_tier=False (skip the tier-1 signature-estimate + its
+    minhash32 attach joins — the last array shuffle) must yield
+    IDENTICAL cluster output: the est cut only pre-prunes pairs the
+    exact-verify threshold would reject anyway."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import run_pipeline
+
+    params = CorpusParams(n_files=300, dup_frac=0.3, seed=11)
+    src = corpus_spark_df(spark, params)
+
+    def checksum(cfg):
+        res = run_pipeline(spark, src, cfg, collect_metrics=False)
+        row = res.clusters.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("id", "cluster_id")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    assert checksum(default_config()) == \
+        checksum(default_config().with_(est_tier=False))
