@@ -70,3 +70,31 @@ def test_candidates_no_window_in_cold_path(spark, parquet_src):
     assert "Window" not in plan
     # pair generation is JVM-side: no Python nodes beyond the signature stage
     assert len(re.findall(r"\(\d+\) (?:MapInPandas|MapInArrow|PythonMapInArrow)", plan)) == 1
+
+
+def test_ivf_plans_no_window_no_cartesian(spark):
+    """The IVF operators' plan contracts: centroids broadcast (no
+    CartesianProduct against the data side beyond the declared
+    broadcast cross join), and NO window/sort over the n*K scored
+    relation — assignment is a struct-max partial aggregation
+    (r2 verdict: the old row_number window shuffled+sorted n*K rows)."""
+    import numpy as np
+
+    from polyminhash_spark.operators.ivf import (
+        ivf_assign, ivf_lloyd_assign, ivf_topk, seed_centroids)
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    assign_plan = _plan(ivf_assign(df, seed_centroids(df, 8)))
+    assert "Window" not in assign_plan
+    assert "CartesianProduct" not in assign_plan
+    assert "BroadcastNestedLoopJoin" in assign_plan  # the K-row centroid side
+
+    lloyd_plan = _plan(ivf_lloyd_assign(df, 8, iters=2, dim=16))
+    assert "Window" not in lloyd_plan
+    assert "CartesianProduct" not in lloyd_plan
+
+    topk_plan = _plan(ivf_topk(df, 8, top_k=3, nprobe=2))
+    assert "Window" not in topk_plan  # per-query rank = sorted collect slice
