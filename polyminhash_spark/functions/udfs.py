@@ -117,12 +117,35 @@ def make_signature_arrow_map(cfg: DedupConfig,
     seed_list = cfg.perm_seeds()
     impl = cfg.minhash_impl
 
+    def _batch_shingles(col):
+        """Zero-copy shingling: an Arrow string column's data buffer IS
+        the UTF-8 bytes char_shingles would encode, so the rolling hash
+        runs once over the whole batch with no Python strings.  Only
+        for the char unit on null-free (large_)string arrays; anything
+        else falls back to the per-row path."""
+        if unit != "char" or col.null_count != 0:
+            return None
+        if pa.types.is_string(col.type):
+            odt = np.int32
+        elif pa.types.is_large_string(col.type):
+            odt = np.int64
+        else:
+            return None
+        bufs = col.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=odt)[
+            col.offset : col.offset + len(col) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return K.char_shingles_batch(data, offsets, k, max_sh)
+
     def mapper(batches):
         seeds = K.mixed_seeds(seed_list)
         for batch in batches:
-            texts = batch.column(content_col).to_pylist()
+            col = batch.column(content_col)
+            sh_list = _batch_shingles(col)
+            texts = None if sh_list is not None else col.to_pylist()
             sig, simh, counts, bkeys = K.signature_batch(
-                texts, k, unit, max_sh, seeds, bands, rows, impl=impl)
+                texts, k, unit, max_sh, seeds, bands, rows, impl=impl,
+                sh_list=sh_list)
             n = sig.shape[0]
             off_s = pa.array(
                 (np.arange(n + 1, dtype=np.int64) * sig.shape[1])

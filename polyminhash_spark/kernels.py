@@ -145,6 +145,58 @@ def shingles_for(text: str, k: int, unit: str = "char",
     return token_shingles(text, k, max_shingles)
 
 
+def char_shingles_batch(buf: np.ndarray, offsets: np.ndarray, k: int,
+                        max_shingles: int = 1 << 18,
+                        block_bytes: int = 1 << 15) -> list[np.ndarray]:
+    """char_shingles over a whole Arrow string batch without
+    materializing Python strings: `buf` is the batch's contiguous UTF-8
+    data buffer (uint8), `offsets` the n+1 row boundaries.  Rows are
+    processed in ~block_bytes groups so the rolling-hash temporaries
+    stay cache-resident — one whole-buffer pass allocates multi-MB
+    temps per vector op and page-faults its way to ~25x slower
+    (measured; the same L2-blocking lesson as signature_batch).
+    Bit-identical to per-row char_shingles (Arrow's buffer bytes ARE
+    text.encode('utf-8'); property-tested including multi-byte
+    UTF-8 and sliced arrays)."""
+    n_rows = len(offsets) - 1
+    out: list[np.ndarray] = [None] * n_rows  # type: ignore[list-item]
+    r = 0
+    while r < n_rows:
+        # group rows until ~block_bytes (always >= 1 row)
+        g0 = r
+        glo = int(offsets[r])
+        while r < n_rows and int(offsets[r + 1]) - glo <= block_bytes:
+            r += 1
+        if r == g0:
+            r += 1  # giant single row: process alone
+        ghi = int(offsets[r])
+        if ghi - glo >= k:
+            arr = buf[glo:ghi].astype(np.uint64)
+            m = len(arr) - k + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * _FNV + arr[j : j + m]
+            h = mix64(h)
+        else:
+            h = np.empty(0, dtype=np.uint64)
+        for i in range(g0, r):
+            lo, hi = int(offsets[i]) - glo, int(offsets[i + 1]) - glo
+            nb = hi - lo
+            if nb == 0:
+                out[i] = np.empty(0, dtype=np.uint64)
+            elif nb < k:
+                out[i] = np.array(
+                    [bytes_hash(buf[glo + lo : glo + hi].tobytes())],
+                    dtype=np.uint64)
+            else:
+                g = np.unique(h[lo : hi - k + 1])
+                if g.size > max_shingles:
+                    g = np.partition(g, max_shingles)[:max_shingles]
+                    g.sort()
+                out[i] = g
+    return out
+
+
 def mixed_seeds(seeds: list[int] | np.ndarray) -> np.ndarray:
     """Spread the reference's small arithmetic seeds (100 + band*123 +
     row*17) over the full 64-bit space before use as xor keys."""
@@ -243,7 +295,8 @@ def oph_minhash(shingles: np.ndarray, seeds_mixed: np.ndarray) -> np.ndarray:
 
 def signature_batch(texts, k: int, unit: str, max_shingles: int,
                     seeds_mixed: np.ndarray, bands: int, rows_per_band: int,
-                    shingle_budget: int = 1 << 11, impl: str = "perm"):
+                    shingle_budget: int = 1 << 11, impl: str = "perm",
+                    sh_list: list | None = None):
     """Whole-Arrow-batch signature kernel: shingle every row, then
     process rows in groups whose concatenated shingle count fits the
     budget — ONE (total_shingles × num_perm) matrix per group with
@@ -253,8 +306,12 @@ def signature_batch(texts, k: int, unit: str, max_shingles: int,
     DRAM-sized chunks).
 
     Returns (sig (n, P) uint64, simhash (n,) int64, counts (n,) int32,
-    band_keys (n, bands) uint64)."""
-    n = len(texts)
+    band_keys (n, bands) uint64).
+
+    `sh_list` (precomputed per-row shingle arrays, e.g. from
+    char_shingles_batch's zero-copy Arrow path) skips the per-row
+    shingling; `texts` is ignored then."""
+    n = len(sh_list) if sh_list is not None else len(texts)
     P = len(seeds_mixed)
     muls = _perm_muls(seeds_mixed)
     sig = np.full((n, P), EMPTY_SLOT, dtype=np.uint64)
@@ -263,7 +320,10 @@ def signature_batch(texts, k: int, unit: str, max_shingles: int,
     shifts = np.arange(64, dtype=np.uint64)
     one = U64(1)
 
-    sh_list = [shingles_for(t or "", k, unit, max_shingles) for t in texts]
+    if sh_list is None:
+        sh_list = [shingles_for(t or "", k, unit, max_shingles) for t in texts]
+    else:
+        sh_list = list(sh_list)  # mutated below (giant-row zeroing)
     for i in range(n):
         counts[i] = sh_list[i].size
         if sh_list[i].size > shingle_budget:
