@@ -55,11 +55,14 @@ def _pipeline_result(spark: SparkSession, sf_dir: str, which: str = "default"):
     from polyminhash_spark.pipeline import run_pipeline
     from polyminhash_spark.plans.kernel_mirror import mirror_config
 
+    from polyminhash_spark.plans.kernel_mirror import mirror_config_oph
+
     key = (id(spark), sf_dir, which)
     if key not in _PIPELINE_MEMO:
         src = _docs_as_corpus(spark, sf_dir)
-        cfg = default_config() if which == "default" else mirror_config()
-        if len(_PIPELINE_MEMO) > 2:
+        cfg = {"default": default_config, "mirror": mirror_config,
+               "mirror_oph": mirror_config_oph}[which]()
+        if len(_PIPELINE_MEMO) > 3:
             _PIPELINE_MEMO.clear()  # bounded memory
         _PIPELINE_MEMO[key] = run_pipeline(spark, src, cfg,
                                            collect_metrics=False)
@@ -265,6 +268,22 @@ def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"), "cluster_id")
 
 
+def _pipeline_clusters_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT production kernel family end-to-end: one-permutation
+    MinHash with optimal densification (kernels.oph_minhash) at mirror
+    width (num_perm=64 — wide enough that densification actually fires
+    on real rows), checked bit-exact against the generated DuckDB OPH
+    mirror including the doc-independent densification probe table."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.pipeline import dedup_output
+
+    res = _pipeline_result(spark, sf_dir, "mirror_oph")
+    return dedup_output(res).select(
+        "id", "repo", "path", "commit", "lang", "content_sha",
+        F.col("n_chars").cast("bigint").alias("n_chars"), "cluster_id")
+
+
 def _pipeline_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production top-k neighbor output (mirror config) — bit-exact
     against the kernel mirror's symmetrized window rank."""
@@ -295,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_lloyd_assign"] = _ivf_lloyd_assign
     out["clone_relation"] = _clone_relation
     out["pipeline_clusters"] = _pipeline_clusters
+    out["pipeline_clusters_oph"] = _pipeline_clusters_oph
     out["pipeline_neighbors"] = _pipeline_neighbors
     return out
 
@@ -318,5 +338,6 @@ def oracle_sql() -> dict[str, str]:
     from polyminhash_spark.plans import kernel_mirror as KM
 
     out["pipeline_clusters"] = KM.pipeline_clusters_duck()
+    out["pipeline_clusters_oph"] = KM.pipeline_clusters_duck("oph")
     out["pipeline_neighbors"] = KM.pipeline_neighbors_duck()
     return out

@@ -51,6 +51,17 @@ def mirror_config():
                        minhash_impl="perm")
 
 
+def mirror_config_oph():
+    """Mirror config for the DEFAULT production kernel (OPH + optimal
+    densification).  num_perm=64: with ~300-550 distinct shingles per
+    driver doc, P=64 leaves ~0.9% of bins empty, so the densification
+    path actually fires on real rows (P=8 would never exercise it)."""
+    from polyminhash_spark.config import DedupConfig
+
+    return DedupConfig(num_perm=64, bands=16, rows_per_band=4,
+                       minhash_impl="oph")
+
+
 # --- uint64 arithmetic fragments --------------------------------------------
 
 def _mul64(a: str, b: str) -> str:
@@ -93,12 +104,73 @@ def _chain(inner: str, steps: list[tuple[str, str]]) -> str:
     return sql
 
 
+def _oph_mh_ctes(P: int, seeds) -> list[str]:
+    """The OPH kernel (kernels.oph_minhash) as SQL: bucket = g mod P,
+    slot = min over the bucket of fmix64(g ^ bin_seed); every empty bin
+    borrows from the first FILLED bin its doc-independent probe
+    sequence hits (probe[t, bin] = fmix64(bin_seed ^ (t*GOLDEN)) mod P
+    — computable as a (bin, t) table because it does not depend on the
+    document; that doc-independence is exactly what makes optimal
+    densification unbiased), value = fmix64(donor_slot ^ bin_seed);
+    if no probe hits within 8*P steps (astronomically rare), the donor
+    is the lowest-index filled bin — the kernel's exact fallback."""
+    bin_rows = ", ".join(
+        f"({b}, cast('{int(seeds[b])}' as ubigint))" for b in range(P))
+    binseeds = f"binseeds(b, s) AS (VALUES {bin_rows})"
+
+    slots_inner = ("SELECT g2.id, bs.b, xor(g2.g, bs.s) AS x FROM "
+                   f"(SELECT id, g, cast(g % {P} as bigint) AS gb "
+                   "FROM ghash) g2 JOIN binseeds bs ON bs.b = g2.gb")
+    filled = ("filled AS (SELECT id, b, min(v) AS slot FROM ("
+              + _chain(slots_inner, _fmix_steps("x", "v", "sv"))
+              + ") GROUP BY id, b)")
+
+    emptyb = ("emptyb AS (SELECT d.id, bs.b FROM "
+              "(SELECT DISTINCT id FROM ghash) d CROSS JOIN binseeds bs "
+              "LEFT JOIN filled f ON f.id = d.id AND f.b = bs.b "
+              "WHERE f.slot IS NULL)")
+
+    probe_inner = (
+        "SELECT bs.b, "
+        f"xor(bs.s, cast((cast(r.range as hugeint) * {GOLDEN}) % {M64} "
+        "as ubigint)) AS x, r.range AS t "
+        f"FROM binseeds bs CROSS JOIN range(0, {8 * P}) r")
+    probes = ("probes AS (SELECT b, t, cast(pv % " + str(P) + " as bigint) "
+              "AS pb FROM ("
+              + _chain(probe_inner, _fmix_steps("x", "pv", "pp")) + "))")
+
+    donor_t = ("donor_t AS (SELECT eb.id, eb.b AS bin, min(p.t) AS t0 "
+               "FROM emptyb eb JOIN probes p ON p.b = eb.b "
+               "JOIN filled f ON f.id = eb.id AND f.b = p.pb "
+               "GROUP BY eb.id, eb.b)")
+    donor = ("donor AS (SELECT dt.id, dt.bin, f.slot AS dslot "
+             "FROM donor_t dt JOIN probes p ON p.b = dt.bin AND p.t = dt.t0 "
+             "JOIN filled f ON f.id = dt.id AND f.b = p.pb)")
+    fallb = ("fallb AS (SELECT eb.id, eb.b AS bin, f.slot AS dslot "
+             "FROM emptyb eb "
+             "LEFT JOIN donor_t dt ON dt.id = eb.id AND dt.bin = eb.b "
+             "JOIN (SELECT id, min(b) AS fb FROM filled GROUP BY id) mf "
+             "ON mf.id = eb.id "
+             "JOIN filled f ON f.id = eb.id AND f.b = mf.fb "
+             "WHERE dt.t0 IS NULL)")
+
+    dense_inner = ("SELECT dd.id, dd.bin, xor(dd.dslot, bs.s) AS x FROM "
+                   "(SELECT * FROM donor UNION ALL SELECT * FROM fallb) dd "
+                   "JOIN binseeds bs ON bs.b = dd.bin")
+    densified = ("densified AS (SELECT id, bin, dv AS slot FROM ("
+                 + _chain(dense_inner, _fmix_steps("x", "dv", "dz")) + "))")
+
+    mh = ("mh AS (SELECT id, b AS p, slot FROM filled "
+          "UNION ALL SELECT id, bin AS p, slot FROM densified)")
+    return [binseeds, filled, emptyb, probes, donor_t, donor, fallb,
+            densified, mh]
+
+
 # --- the pipeline CTE chain --------------------------------------------------
 
-def _prefix_ctes() -> str:
+def _prefix_ctes(cfg) -> str:
     from polyminhash_spark import kernels as K
 
-    cfg = mirror_config()
     k = cfg.shingle_k
     P = cfg.num_perm
     R = cfg.rows_per_band
@@ -160,13 +232,18 @@ def _prefix_ctes() -> str:
              "(SELECT * FROM wins UNION ALL SELECT * FROM shorts))")
     sizes = "sizes AS (SELECT id, count(*) AS n FROM ghash GROUP BY id)"
 
-    perm_rows = ", ".join(
-        f"({p}, cast('{int(seeds[p])}' as ubigint), "
-        f"cast('{int(muls[p])}' as ubigint))" for p in range(P))
-    perms = f"perms(p, s, mm) AS (VALUES {perm_rows})"
-    mh = ("mh AS (SELECT id, p, min(" + _mul64("x", "mm") + ") AS slot "
-          "FROM (SELECT id, p, mm, xor(g, s) AS x "
-          "FROM ghash CROSS JOIN perms) GROUP BY id, p)")
+    if cfg.minhash_impl == "perm":
+        perm_rows = ", ".join(
+            f"({p}, cast('{int(seeds[p])}' as ubigint), "
+            f"cast('{int(muls[p])}' as ubigint))" for p in range(P))
+        mh_ctes = [
+            f"perms(p, s, mm) AS (VALUES {perm_rows})",
+            ("mh AS (SELECT id, p, min(" + _mul64("x", "mm") + ") AS slot "
+             "FROM (SELECT id, p, mm, xor(g, s) AS x "
+             "FROM ghash CROSS JOIN perms) GROUP BY id, p)"),
+        ]
+    else:
+        mh_ctes = _oph_mh_ctes(P, seeds)
 
     # 64-bit SimHash: majority bit over the distinct shingle hashes
     sim_terms = " + ".join(
@@ -227,19 +304,36 @@ def _prefix_ctes() -> str:
         "ON i.id_a = s.id_a AND i.id_b = s.id_b "
         "JOIN sizes za ON za.id = s.id_a JOIN sizes zb ON zb.id = s.id_b)")
 
-    return ", ".join([
-        corpus, norm, reps, rep_map, rdocs, wins, shorts, ghash, sizes,
-        perms, mh, sim, bk, cands, t0, est, surv, inter, verified])
+    return ", ".join(
+        [corpus, norm, reps, rep_map, rdocs, wins, shorts, ghash, sizes]
+        + mh_ctes
+        + [sim, bk, cands, t0, est, surv, inter, verified])
 
 
-def pipeline_clusters_duck() -> str:
+_MATERIALIZE = ("norm", "reps", "rep_map", "ghash", "sizes", "filled",
+                "emptyb", "probes", "mh", "sim", "bk", "cands", "tier0",
+                "est", "survivors", "verified")
+
+
+def _materialize_hints(sql: str) -> str:
+    """DuckDB inlines single-definition CTEs and RE-EXECUTES them per
+    reference — the pipeline chain references ghash/filled/mh several
+    times each, which measured 5x slower end-to-end than materializing.
+    AS MATERIALIZED pins each expensive CTE to one evaluation.  (The
+    recursive `reach` CTE is deliberately not touched.)"""
+    for name in _MATERIALIZE:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return sql
+
+
+def pipeline_clusters_duck(impl: str = "perm") -> str:
     """Full-pipeline cluster assignment: dup edges (jaccard >= threshold)
     over exact-group representatives -> connected components (label =
     min member id, recursive CTE) -> expansion to all rows, with the
     dedup_output column contract."""
-    cfg = mirror_config()
-    return (
-        "WITH RECURSIVE " + _prefix_ctes() + ", "
+    cfg = mirror_config_oph() if impl == "oph" else mirror_config()
+    sql = (
+        "WITH RECURSIVE " + _prefix_ctes(cfg) + ", "
         f"dup AS (SELECT id_a, id_b FROM verified WHERE jac >= {cfg.jaccard_threshold}), "
         "edges AS (SELECT id_a AS u, id_b AS v FROM dup "
         "UNION ALL SELECT id_b, id_a FROM dup), "
@@ -253,14 +347,15 @@ def pipeline_clusters_duck() -> str:
         "cast(n.n_chars as bigint) AS n_chars, c.cluster_id "
         "FROM norm n JOIN rep_map m ON m.id = n.id "
         "JOIN complabel c ON c.node = m.rep_id")
+    return _materialize_hints(sql)
 
 
-def pipeline_neighbors_duck() -> str:
+def pipeline_neighbors_duck(impl: str = "perm") -> str:
     """Full-pipeline top-k neighbors: symmetrized verified pairs,
     distance = 1 - jaccard ascending, ties by neighbor id, rank <= k."""
-    cfg = mirror_config()
-    return (
-        "WITH " + _prefix_ctes() + ", "
+    cfg = mirror_config_oph() if impl == "oph" else mirror_config()
+    sql = (
+        "WITH " + _prefix_ctes(cfg) + ", "
         "sym AS (SELECT id_a AS query_id, id_b AS neighbor_id, "
         "1 - jac AS distance FROM verified "
         "UNION ALL SELECT id_b, id_a, 1 - jac FROM verified), "
@@ -269,3 +364,4 @@ def pipeline_neighbors_duck() -> str:
         "ORDER BY distance ASC, neighbor_id ASC) AS rank FROM sym) "
         "SELECT query_id, neighbor_id, distance, cast(rank as bigint) AS rank "
         f"FROM ranked WHERE rank <= {cfg.top_k}")
+    return _materialize_hints(sql)

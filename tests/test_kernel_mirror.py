@@ -20,7 +20,8 @@ def test_pipeline_matches_kernel_mirror(spark):
                 f"read_parquet('{SF_DIR}/documents.parquet')")
     q = e.queries()
     osql = e.oracle_sql()
-    for name in ("pipeline_clusters", "pipeline_neighbors"):
+    for name in ("pipeline_clusters", "pipeline_clusters_oph",
+                 "pipeline_neighbors"):
         srows = sorted(tuple(r) for r in q[name](spark, SF_DIR).collect())
         orows = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
         assert srows == orows, (name, len(srows), len(orows))
