@@ -24,11 +24,13 @@ Feasibility rests on three facts:
 
 The Spark side of the comparison is run_pipeline() itself — the real
 production code (mapInArrow numpy kernels, candidate_pairs, tiered
-verify UDF, connected components) — under `mirror_config()`: the same
-DedupConfig defaults with num_perm=8 (bands=4, rows_per_band=2) and
-the classic `perm` kernel, small enough that the SQL stays tractable.
-(OPH's lexsort winner selection has no order-free SQL analog; the perm
-kernel is the reference-fidelity path, SURVEY.md O12.)
+verify UDF, connected components) — at SQL-tractable signature widths:
+`mirror_config()` runs the classic `perm` kernel (reference-fidelity
+path, SURVEY.md O12) at num_perm=8; `mirror_config_oph()` runs the
+DEFAULT one-permutation kernel at num_perm=64, where the per-bucket
+min is an order-free GROUP BY (the lexsort in kernels.oph_minhash just
+implements min-per-bucket) and optimal densification mirrors exactly
+because its probe sequence is doc-independent (see _oph_mh_ctes).
 """
 
 from __future__ import annotations
