@@ -284,16 +284,21 @@ def _pipeline_clusters_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"), "cluster_id")
 
 
-def _pipeline_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production top-k neighbor output (mirror config) — bit-exact
-    against the kernel mirror's symmetrized window rank."""
+def _pipeline_neighbors(spark: SparkSession, sf_dir: str,
+                        which: str = "mirror") -> DataFrame:
+    """Production top-k neighbor output — bit-exact against the kernel
+    mirror's symmetrized window rank (perm or oph mirror config)."""
     import pyspark.sql.functions as F
 
-    res = _pipeline_result(spark, sf_dir, "mirror")
+    res = _pipeline_result(spark, sf_dir, which)
     return res.neighbors.select(
         F.lower(F.hex("query_id")).alias("query_id"),
         F.lower(F.hex("neighbor_id")).alias("neighbor_id"),
         "distance", F.col("rank").cast("bigint").alias("rank"))
+
+
+def _pipeline_neighbors_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline_neighbors(spark, sf_dir, "mirror_oph")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -316,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_clusters"] = _pipeline_clusters
     out["pipeline_clusters_oph"] = _pipeline_clusters_oph
     out["pipeline_neighbors"] = _pipeline_neighbors
+    out["pipeline_neighbors_oph"] = _pipeline_neighbors_oph
     return out
 
 
@@ -339,5 +345,6 @@ def oracle_sql() -> dict[str, str]:
 
     out["pipeline_clusters"] = KM.pipeline_clusters_duck()
     out["pipeline_clusters_oph"] = KM.pipeline_clusters_duck("oph")
+    out["pipeline_neighbors_oph"] = KM.pipeline_neighbors_duck("oph")
     out["pipeline_neighbors"] = KM.pipeline_neighbors_duck()
     return out

@@ -21,7 +21,7 @@ def test_pipeline_matches_kernel_mirror(spark):
     q = e.queries()
     osql = e.oracle_sql()
     for name in ("pipeline_clusters", "pipeline_clusters_oph",
-                 "pipeline_neighbors"):
+                 "pipeline_neighbors", "pipeline_neighbors_oph"):
         srows = sorted(tuple(r) for r in q[name](spark, SF_DIR).collect())
         orows = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
         assert srows == orows, (name, len(srows), len(orows))
