@@ -117,16 +117,32 @@ def main() -> None:
     timed("embedding_topk", lambda: spark.sql(
         M.spark_sql("embedding_topk")).write.format("noop").mode("overwrite").save())
 
-    # production pipeline end-to-end (numpy kernels in Arrow UDFs)
+    # production pipeline end-to-end (numpy kernels in Arrow UDFs).
+    # Best-of-N (default 2): this host's neighbor load arrives in
+    # ~minute-scale bursts that can straddle a single 20-60 s run and
+    # inflate it 1.5-4x even after a quiet-gated start; interference
+    # only ever ADDS time, so the min over repeats is the honest
+    # engine number (same rule scripts/scaling_bench.py uses).
     spark.catalog.clearCache()  # release the mirror-stage views
     cfg = default_config()
     src = spark.read.parquet(corpus_path)
-    _wait_for_quiet()
-    load_before = _load1()
-    t0 = time.time()
-    res = run_pipeline(spark, src, cfg, collect_metrics=False)
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    pipeline_sec = time.time() - t0
+    repeats = int(os.environ.get("POLYMINHASH_BENCH_REPEATS", "2"))
+    runs, loads_before, n_clusters = [], [], None
+    for i in range(repeats):
+        _wait_for_quiet()
+        loads_before.append(_load1())
+        t0 = time.time()
+        res = run_pipeline(spark, src, cfg, collect_metrics=False)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        runs.append(time.time() - t0)
+        for df in (res.normalized, res.rep_map, res.signed, res.candidates,
+                   res.verified, res.clusters, res.neighbors):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    pipeline_sec = min(runs)
+    load_before = loads_before[runs.index(pipeline_sec)]
     timings["dedup_pipeline"] = round(pipeline_sec, 3)
     load_after = _load1()
     # own-load correction: this process contributes to loadavg; a run is
@@ -152,6 +168,7 @@ def main() -> None:
         "sf": sf,
         "pipeline_files": n_files,
         "pipeline_sec": round(pipeline_sec, 3),
+        "pipeline_sec_all_runs": [round(r, 3) for r in runs],
         "pipeline_clusters": n_clusters,
         "total_sec": total,
         "cpus": cpus,
