@@ -63,7 +63,18 @@ def _pipeline_result(spark: SparkSession, sf_dir: str, which: str = "default"):
         cfg = {"default": default_config, "mirror": mirror_config,
                "mirror_oph": mirror_config_oph}[which]()
         if len(_PIPELINE_MEMO) > 3:
-            _PIPELINE_MEMO.clear()  # bounded memory
+            # bounded memory: unpersist the evicted results' cached
+            # stage DataFrames before dropping the references, so the
+            # Spark session doesn't keep their storage pinned
+            for old in _PIPELINE_MEMO.values():
+                for df in (old.normalized, old.rep_map, old.signed,
+                           old.candidates, old.verified, old.clusters,
+                           old.neighbors):
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+            _PIPELINE_MEMO.clear()
         _PIPELINE_MEMO[key] = run_pipeline(spark, src, cfg,
                                            collect_metrics=False)
     return _PIPELINE_MEMO[key]

@@ -168,6 +168,11 @@ def main() -> None:
         "sf": sf,
         "pipeline_files": n_files,
         "pipeline_sec": round(pipeline_sec, 3),
+        # the min is a WARM-SESSION number (repeat runs share the JVM's
+        # JIT/codegen and page cache as well as shedding interference);
+        # pipeline_sec_first is the comparable number for rounds that
+        # reported single cold-session runs — see BENCH/BASELINE.md
+        "pipeline_sec_first": round(runs[0], 3),
         "pipeline_sec_all_runs": [round(r, 3) for r in runs],
         "pipeline_clusters": n_clusters,
         "total_sec": total,

@@ -1,17 +1,31 @@
-"""Text-file record source — the reference's native input format
+"""Text-file record source — the reference's native input formats
 (reference src/parse_geodata.cpp:9-66: tab-separated "<id>\\t<WKT>"
-lines; :130-249: plain one-record-per-line files with line-number ids),
-mapped into the pipeline's input_hint schema so a reference user's
-.wkt/.tsv workflow ingests without a pre-conversion step.
+lines; :68-128: header-skipping CSV whose payload is the FIRST column
+before the tab; :130-249: plain one-record-per-line files with
+line-number ids), mapped into the pipeline's input_hint schema so a
+reference user's .wkt/.tsv/.csv workflow ingests without a
+pre-conversion step.
 
 Spark shape: `spark.read.text` is a splittable distributed scan (the
 reference hand-rolls byte-range splitting in splitFile; Spark's text
-source gives the same block parallelism for free).  The id-bearing
-form is a pure JVM split on the FIRST delimiter (payloads may contain
-the delimiter).  The plain form needs stable per-record ids where the
-reference uses line numbers: zipWithIndex supplies a deterministic
-global index (one extra lightweight count job — ingest-time only,
-never in the query path).
+source gives the same block parallelism for free).  All record forms
+stay on the columnar FileScan path:
+
+* delimiter split: pure column ops (instr/substring_index/substr) —
+  the delimiter is passed as a literal argument, never interpolated
+  into SQL text, so any delimiter (quotes, backslashes) is safe.
+* plain-line ids: the reference's line numbers, derived WITHOUT an RDD
+  hop (r3: zipWithIndex + a per-row Python lambda forfeited codegen
+  for the whole ingest): local position = the low 33 bits of
+  monotonically_increasing_id, partition base = prefix sum over the
+  tiny per-partition count table (one row per file split), broadcast
+  back.  Same determinism contract as zipWithIndex — stable for a
+  fixed file set (Spark's split planning is deterministic) — with the
+  scan staying whole-stage-codegen end to end.
+* header skip: delegated to the csv reader with an explicit one-column
+  schema and a sentinel separator, which drops the first line of EVERY
+  file natively (correct under multi-file globs, where "first line of
+  the scan" would not be).
 """
 
 from __future__ import annotations
@@ -19,39 +33,100 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+# csv-reader sentinel: a separator that cannot occur in a text line, so
+# each line parses as exactly one column while header=True still drops
+# the first line per file
+_NO_SEP = "\x01"
+
+
+def _scan_lines(spark: SparkSession, path: str, header: bool) -> DataFrame:
+    if header:
+        return (spark.read.schema("value string")
+                .option("header", True).option("sep", _NO_SEP)
+                .option("quote", "")
+                .csv(path)
+                .select(F.input_file_name().alias("src_file"),
+                        F.coalesce("value", F.lit("")).alias("value")))
+    return spark.read.text(path).select(
+        F.input_file_name().alias("src_file"), F.col("value"))
+
+
+def _line_number_ids(lines: DataFrame) -> DataFrame:
+    """(src_file, value) -> (src_file, rec_id, content) with rec_id =
+    global line index, computed scan-side: local row position from
+    monotonically_increasing_id's low 33 bits, partition bases from a
+    prefix sum over per-partition counts (tiny: one row per split,
+    window + broadcast join are both O(#splits))."""
+    from pyspark.sql.window import Window
+
+    local_mask = (1 << 33) - 1
+    tagged = (lines
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_local",
+                          F.monotonically_increasing_id()
+                           .bitwiseAND(F.lit(local_mask))))
+    w = (Window.orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    bases = (tagged.groupBy("_pid")
+             .agg(F.count(F.lit(1)).alias("_cnt"))
+             .withColumn("_base", F.coalesce(F.sum("_cnt").over(w),
+                                             F.lit(0)))
+             .select("_pid", "_base"))
+    return (tagged.join(F.broadcast(bases), "_pid")
+            .select("src_file",
+                    (F.col("_base") + F.col("_local")).cast("string")
+                    .alias("rec_id"),
+                    F.col("value").alias("content")))
+
 
 def read_text_records(spark: SparkSession, path: str, delimiter: str = "\t",
-                      with_id: bool = True) -> DataFrame:
+                      with_id: bool = True, header: bool = False,
+                      payload: str = "after") -> DataFrame:
     """Text file(s) -> input_hint-shaped DataFrame
     (repo, path, commit, lang, content).
 
-    * with_id=True: each line is "<record_id><delimiter><payload>"
-      (reference WKT-with-id, parse_geodata.cpp:22-31); the split is
-      on the FIRST delimiter only.  Lines with no delimiter are kept
-      with the whole line as payload and a line-hash id, mirroring the
-      reference's tolerant parse.
+    * with_id=True, payload='after' (default): each line is
+      "<record_id><delimiter><payload>" (reference WKT-with-id,
+      parse_geodata.cpp:22-31); the split is on the FIRST delimiter
+      only.  Lines with no delimiter are kept with the whole line as
+      payload and a line-hash id, mirroring the reference's tolerant
+      parse.
+    * payload='before': the record content is the text BEFORE the
+      first delimiter and the remainder is metadata; lines with no
+      delimiter are DROPPED (reference read_csv,
+      parse_geodata.cpp:85-93 "cannot find end of first column,
+      skipping").  Ids are line hashes (the reference uses array
+      positions).  Combine with header=True for the reference's CSV
+      shape (one header line consumed per file, :82-83).
     * with_id=False: plain one-record-per-line; ids are the stable
-      zipWithIndex line index (the reference's line-number ids).
+      global line index (the reference's line-number ids).
 
     repo = source file name, path = "rec/<id>", commit = NULL (the
     normalize() id encoding handles NULL injectively)."""
-    lines = spark.read.text(path).select(
-        F.input_file_name().alias("src_file"), F.col("value"))
+    if payload not in ("after", "before"):
+        raise ValueError(f"payload must be 'after' or 'before': {payload!r}")
+    lines = _scan_lines(spark, path, header)
     if with_id:
         d = delimiter
-        rec = lines.select(
-            "src_file",
-            F.when(F.instr("value", d) > 0,
-                   F.substring_index("value", d, 1))
-             .otherwise(F.lower(F.hex(F.xxhash64("value")))).alias("rec_id"),
-            F.when(F.instr("value", d) > 0,
-                   F.expr(f"substring(value, instr(value, '{d}') + {len(d)})"))
-             .otherwise(F.col("value")).alias("content"),
-        )
+        has_d = F.instr("value", d) > 0
+        before = F.substring_index("value", d, 1)
+        after = F.col("value").substr(F.instr("value", d) + len(d),
+                                      F.length("value"))
+        if payload == "before":
+            rec = lines.filter(has_d).select(
+                "src_file",
+                F.lower(F.hex(F.xxhash64("value"))).alias("rec_id"),
+                before.alias("content"))
+        else:
+            rec = lines.select(
+                "src_file",
+                F.when(has_d, before)
+                 .otherwise(F.lower(F.hex(F.xxhash64("value"))))
+                 .alias("rec_id"),
+                F.when(has_d, after).otherwise(F.col("value"))
+                 .alias("content"))
     else:
-        rdd = lines.rdd.zipWithIndex()
-        rec = rdd.map(lambda t: (t[0][0], str(t[1]), t[0][1])).toDF(
-            ["src_file", "rec_id", "content"])
+        rec = _line_number_ids(lines)
     return rec.select(
         F.element_at(F.split("src_file", "/"), -1).alias("repo"),
         F.concat(F.lit("rec/"), F.col("rec_id")).alias("path"),
@@ -59,3 +134,12 @@ def read_text_records(spark: SparkSession, path: str, delimiter: str = "\t",
         F.lit(None).cast("string").alias("lang"),
         "content",
     ).filter(F.length("content") > 0)
+
+
+def read_csv_wkt(spark: SparkSession, path: str,
+                 delimiter: str = "\t") -> DataFrame:
+    """The reference's read_csv shape (parse_geodata.cpp:68-128): one
+    header line consumed per file, payload = the first column before
+    `delimiter`, non-delimited lines skipped."""
+    return read_text_records(spark, path, delimiter, with_id=True,
+                             header=True, payload="before")

@@ -126,3 +126,42 @@ def test_oph_deterministic_and_set_function():
     assert np.array_equal(K.oph_minhash(tiny, SEEDS),
                           K.oph_minhash(tiny[::-1].copy(), SEEDS))
     assert not (K.oph_minhash(tiny, SEEDS) == K.EMPTY_SLOT).any()
+
+
+def test_char_shingles_batch_property_parity():
+    """The parity the char_shingles_batch docstring claims (r3 advice:
+    the claimed property test did not exist): bit-exact equality with
+    per-row char_shingles over random multi-byte UTF-8 texts, SLICED
+    Arrow arrays (non-zero buffer offset), tiny block_bytes (forces
+    row grouping AND the giant-single-row path), and a small
+    max_shingles cap."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(77)
+    alphabet = list("abcdefgh ") + ["é", "日", "🎉", "ß", "\n", "\t"]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(0, 120))
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    texts += ["", "ab", "🎉" * 3, "x" * 5000]  # empty, sub-k, emoji, giant
+
+    k = 7
+    for arr_type, odt in ((pa.string(), np.int32),
+                          (pa.large_string(), np.int64)):
+        full = pa.array(texts, type=arr_type)
+        for sliced in (full, full.slice(3, 50), full.slice(17)):
+            assert sliced.null_count == 0
+            bufs = sliced.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=odt)[
+                sliced.offset: sliced.offset + len(sliced) + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            for block_bytes, max_sh in ((1 << 15, 1 << 18), (64, 1 << 18),
+                                        (64, 10)):
+                got = K.char_shingles_batch(data, offsets, k,
+                                            max_shingles=max_sh,
+                                            block_bytes=block_bytes)
+                assert len(got) == len(sliced)
+                for row_out, text in zip(got, sliced.to_pylist()):
+                    expect = K.char_shingles(text, k, max_shingles=max_sh)
+                    assert row_out.dtype == expect.dtype
+                    assert np.array_equal(row_out, expect), text
