@@ -161,11 +161,12 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pigeonhole-bucketed SimHash near-dup pairs (production plan: band
-    on 4 disjoint 4-bit chunks, exact-hamming verify — no O(n^2) join).
-    Oracle: the all-pairs q_simhash_near_dup mirror; the pigeonhole
-    argument makes the bucketed plan COMPLETE at hamming <= 3, so the
-    outputs are identical."""
+    """Combination-banded SimHash near-dup pairs (production plan: band
+    on all C(6,3) 3-of-6-chunk combinations, exact-hamming verify — no
+    O(n^2) join).  Oracle: the all-pairs q_simhash_near_dup mirror; a
+    hamming<=3 pair agrees on >= 3 of 6 chunks, hence on all chunks of
+    some combination, so the banded plan is COMPLETE and the outputs
+    identical."""
     import pyspark.sql.functions as F
 
     from polyminhash_spark.operators.simhash_dedup import simhash_near_dup_pairs
@@ -178,6 +179,25 @@ def _simhash_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id_a").alias("doc_a"),
                       F.col("id_b").alias("doc_b"),
                       F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _simhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combination-banding bucket histogram through the production
+    operator (operators/simhash_dedup.simhash_band_stats, posexplode +
+    JVM bit arithmetic).  Oracle: q_simhash_bands, which re-derives the
+    same 20 bands and packed keys in pure SQL."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.operators.simhash_dedup import simhash_band_stats
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    sim = spark.sql(M.spark_sql("simhash16"))
+    out = simhash_band_stats(sim, hamming_max=3, bits=16,
+                             id_col="doc_id", sim_col="simhash16")
+    return out.select(F.col("band").cast("int").alias("band"),
+                      F.col("band_key").cast("bigint").alias("band_key"),
+                      F.col("bucket_n").cast("bigint").alias("bucket_n"))
 
 
 def _embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_fingerprint"] = _doc_fingerprint
     out["cluster_labels"] = _cluster_labels
     out["simhash_near_dup_bucketed"] = _simhash_near_dup_bucketed
+    out["simhash_bands"] = _simhash_band_stats
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
     out["ivf_assign"] = _ivf_assign
     out["ivf_topk"] = _ivf_topk

@@ -520,6 +520,40 @@ def q_simhash_near_dup(d: Dialect) -> str:
     )
 
 
+def q_simhash_bands(d: Dialect) -> str:
+    """Combination-banding bucket histogram (operators/simhash_dedup.
+    simhash_bands with bits=16, hamming_max=3 -> m=6 chunks of 3 bits,
+    C(6,3)=20 bands keyed on the selected chunks packed low-to-high).
+    Mirrors the Spark operator's band indexing (itertools.combinations
+    enumeration order) and key packing exactly."""
+    import itertools
+
+    body = _with(cte_docs(d), cte_grams(d), cte_ghash(d))
+    bits = []
+    for j in range(16):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ({d.shr('h', j)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << j} ELSE 0 END)")
+    chunk_cols = ", ".join(
+        f"{d.shr('s', c * 3)} % 8 AS k{c}" for c in range(6))
+    selects = []
+    for band, (c0, c1, c2) in enumerate(itertools.combinations(range(6), 3)):
+        key = f"k{c0} + k{c1} * 8 + k{c2} * 64"
+        if band == 0:
+            selects.append(f"SELECT {band} AS band, {key} AS band_key, "
+                           "doc_id FROM chunks")
+        else:
+            selects.append(f"SELECT {band}, {key}, doc_id FROM chunks")
+    return body + (
+        ", sim AS (SELECT doc_id, cast(" + " + ".join(bits) +
+        " as bigint) AS s FROM ghash GROUP BY doc_id) "
+        f", chunks AS (SELECT doc_id, {chunk_cols} FROM sim) "
+        ", bands AS (" + " UNION ALL ".join(selects) + ") "
+        "SELECT band, band_key, cast(count(*) as bigint) AS bucket_n "
+        "FROM bands GROUP BY band, band_key HAVING count(*) >= 2"
+    )
+
+
 def q_embedding_lsh_topk(d: Dialect) -> str:
     """Scale-path ANN: top-k restricted to hyperplane-LSH bucket
     co-members (the bucketed variant of q_embedding_topk)."""
@@ -747,6 +781,7 @@ QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,  # bucketed ANN top-k
     "embedding_near_dup": q_embedding_near_dup,  # cosine near-dup pairs
     "simhash_near_dup": q_simhash_near_dup,      # SimHash dedup path
+    "simhash_bands": q_simhash_bands,            # combination banding histogram
 }
 
 
