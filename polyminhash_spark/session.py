@@ -38,6 +38,11 @@ def build_session(app_name: str = "polyminhash",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # shuffle codec stays lz4 (Spark default) — MEASURED, not assumed:
+        # zstd loses 22-29% at 2.6M/32c and 15% at 2.6M/8c (its CPU cost
+        # lands on the same cores the kernels need; the tmpfs shuffle
+        # store makes lz4's lower ratio free) and is noise-level at 1M;
+        # BENCH/BASELINE.md "shuffle codec" section has the runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("POLYMINHASH_DRIVER_MEM", "8g"))
     )

@@ -247,6 +247,58 @@ def make_incremental_handler(static_signed: DataFrame | None,
     return handle
 
 
+def compact_index(spark: SparkSession, index_path: str,
+                  upto_batch_id: int, out_partitions: int = 1) -> int:
+    """Merge every index partition with batch_id <= upto_batch_id into
+    one consolidated partition labeled batch_id = upto_batch_id.
+    Returns the number of rows compacted.
+
+    The growable index gains one (small) partition per micro-batch; at
+    ingest rates measured in batches-per-minute that is thousands of
+    tiny parquet files per day — the classic small-files problem.
+    Compaction preserves both index contracts:
+    * visibility: any future batch N > upto reads batch_id < N, which
+      includes the consolidated upto partition;
+    * replay safety: only call with upto_batch_id STRICTLY BELOW the
+      newest committed batch — a replay of batch M reads batch_id < M,
+      so consolidating into M-1 or older never feeds a batch its own
+      rows.
+    Crash safety: the consolidated partition is written (dynamic
+    overwrite of its own partition) BEFORE the stale partitions are
+    deleted, so a crash between the two steps leaves duplicate index
+    rows, never missing ones — duplicates only re-propose candidate
+    pairs that the per-batch (id_a, id_b) dedup absorbs, and re-running
+    compaction converges.  Deletion goes through the Hadoop FileSystem
+    API, so the same code path works on HDFS/S3A at cluster scale."""
+    all_rows = spark.read.parquet(index_path)
+    old = all_rows.filter(F.col("batch_id") <= upto_batch_id)
+    n = old.count()
+    if n == 0:
+        return 0
+    (old.drop("batch_id")
+        .withColumn("batch_id", F.lit(upto_batch_id))
+        .coalesce(out_partitions)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path))
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(hconf)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < upto_batch_id:
+            fs.delete(st.getPath(), True)
+    return n
+
+
 def run_incremental_dedup(spark: SparkSession, stream_src: DataFrame,
                           static_signed: DataFrame, cfg: DedupConfig,
                           sink_path: str, checkpoint_path: str,

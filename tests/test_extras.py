@@ -352,7 +352,9 @@ def test_stream_vs_stream_dedup_with_growable_index(spark, tmp_path):
     b1 = signed([("r", "a1", "c" * 40, "py", dup_a + "# t1\n"),
                  ("r", "a2", "d" * 40, "py", dup_a + "# t2\n"),
                  ("r", "b1", "e" * 40, "py", dup_b + "# t3\n"),
-                 ("r", "u1", "f" * 40, "py", "unique one " * 30)])
+                 ("r", "u1", "f" * 40, "py",
+                  "def unique_one(x):\n    return x * 41 + len('seed')\n"
+                  "# distinct trailing commentary keeps shingles diverse\n")])
     # batch 2: second half of dup_b + unique
     b2 = signed([("r", "b2", "g" * 40, "py", dup_b + "# t4\n"),
                  ("r", "u2", "h" * 40, "py", "unique two " * 30)])
@@ -366,11 +368,14 @@ def test_stream_vs_stream_dedup_with_growable_index(spark, tmp_path):
     assert got1.count() == 1            # the within-batch dup_a pair
     handle(b2, 1)
 
+    batches = [b1, b2]
+
     def dup_paths():
         dups = spark.read.parquet(sink).filter("is_duplicate")
-        idmap = {r.id: r.path for r in
-                 b1.select("id", "path").unionByName(
-                     b2.select("id", "path")).collect()}
+        idmap = {}
+        for b in batches:
+            idmap.update({r.id: r.path
+                          for r in b.select("id", "path").collect()})
         return sorted(tuple(sorted((idmap[r.id_a], idmap[r.id_b])))
                       for r in dups.collect())
 
@@ -384,6 +389,33 @@ def test_stream_vs_stream_dedup_with_growable_index(spark, tmp_path):
     assert idx.count() == 6
     assert set(r.batch_id for r in
                idx.select("batch_id").distinct().collect()) == {0, 1}
+
+    # compaction: batch 3 brings a partner for batch-0's u1; compact
+    # everything below the newest committed batch into one partition
+    # and verify the index contract (same rows, fewer partitions, later
+    # batches still see compacted content, replay still idempotent)
+    from polyminhash_spark.streaming.dedup_stream import compact_index
+
+    before = {(r.path, r.batch_id in (0, 1))
+              for r in idx.select("path", "batch_id").collect()}
+    n = compact_index(spark, index, upto_batch_id=1)
+    assert n == 6
+    idx2 = spark.read.parquet(index)
+    assert idx2.count() == 6
+    assert set(r.batch_id for r in
+               idx2.select("batch_id").distinct().collect()) == {1}
+    assert {r.path for r in idx2.collect()} == {p for p, _ in before}
+
+    b3 = signed([("r", "u1b", "i" * 40, "py",
+                  "def unique_one(x):\n    return x * 41 + len('seed')\n"
+                  "# distinct trailing commentary keeps shingles diverse\n"
+                  "# t5\n")])
+    batches.append(b3)
+    handle(b3, 2)
+    expected3 = expected + [("u1", "u1b")]
+    assert dup_paths() == sorted(expected3)  # compacted index still probed
+    handle(b3, 2)                            # replay after compaction
+    assert dup_paths() == sorted(expected3)
 
 
 def test_pipeline_token_unit_end_to_end(spark):
