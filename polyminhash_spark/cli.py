@@ -42,6 +42,11 @@ def cmd_run(args) -> int:
         src = read_text_records(spark, args.input,
                                 delimiter=args.text_delimiter,
                                 with_id=not args.no_record_ids)
+    elif args.input_format == "csv":
+        from polyminhash_spark.sources.text_source import read_csv_wkt
+
+        src = read_csv_wkt(spark, args.input,
+                           delimiter=args.text_delimiter)
     else:
         src = spark.read.parquet(args.input)
     t0 = time.time()
@@ -124,9 +129,12 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="full dedup pipeline")
     r.add_argument("--input", required=True)
     r.add_argument("--input-format", dest="input_format", default="parquet",
-                   choices=("parquet", "text"),
+                   choices=("parquet", "text", "csv"),
                    help="text = one record per line, '<id>\\t<payload>' "
-                        "(the reference's native WKT/TSV input)")
+                        "(the reference's native WKT/TSV input); csv = "
+                        "header line skipped per file, payload = first "
+                        "column before the delimiter (the reference's "
+                        "read_csv shape, parse_geodata.cpp:68-128)")
     r.add_argument("--text-delimiter", dest="text_delimiter", default="\t")
     r.add_argument("--no-record-ids", dest="no_record_ids",
                    action="store_true",

@@ -74,8 +74,15 @@ def run_level(cores: int, corpus: str, repeats: int = 2) -> dict:
                                   parts=cores * 2)
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            # surface the subprocess failure (a silent IndexError here
+            # hid a GCLocker heap crash during the 2.6M campaign) —
+            # 2.6M+ files need POLYMINHASH_DRIVER_MEM=12g
+            print(f"run at {cores} cores produced no result; stderr tail:\n"
+                  + out.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"scaling run failed at {cores} cores")
+        r = json.loads(lines[-1])
         r["host_load_before"] = round(load_before, 1)
         runs.append(r)
     best = min(runs, key=lambda r: r["wall_sec"])

@@ -125,6 +125,36 @@ def test_cli_text_input_end_to_end(tmp_path):
     assert dup_cluster >= {"rec/id0", "rec/dup0", "rec/dup1", "rec/dup2"}
 
 
+def test_cli_csv_input_end_to_end(tmp_path):
+    """`cli run --input-format csv` on a header-bearing fixture — the
+    reference's read_csv workflow without pre-conversion.  Runs in a
+    subprocess (own SparkSession)."""
+    csvf = tmp_path / "corpus.csv"
+    lines = ["payload\tname"]  # header consumed per the reference
+    base = [" ".join(f"tok{i}_{j}" for j in range(12)) for i in range(20)]
+    lines += [f"{base[i]}\trow{i}" for i in range(20)]
+    lines += [f"{base[0]}\tdup{i}" for i in range(3)]  # exact dups of row 0
+    csvf.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "clusters"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "polyminhash_spark.cli", "run",
+         "--input", str(csvf), "--input-format", "csv",
+         "--out", str(out), "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["n_records"] == 23   # header skipped
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT cluster_id, count(*) FROM read_parquet('{out}/*.parquet') "
+        "GROUP BY cluster_id ORDER BY 2 DESC").fetchall()
+    assert len(rows) == 20              # 4 copies of payload 0 collapse
+    assert rows[0][1] == 4
+
+
 def test_iceberg_branch_with_stubbed_catalog(spark, tmp_path, monkeypatch):
     """No Iceberg jar ships in this container, so the StageCatalog
     Iceberg branch is exercised with a stubbed writeTo/read that maps
