@@ -248,10 +248,18 @@ def make_incremental_handler(static_signed: DataFrame | None,
 
 
 def compact_index(spark: SparkSession, index_path: str,
-                  upto_batch_id: int, out_partitions: int = 1) -> int:
-    """Merge every index partition with batch_id <= upto_batch_id into
-    one consolidated partition labeled batch_id = upto_batch_id.
-    Returns the number of rows compacted.
+                  upto_batch_id: int, out_partitions: int = 1,
+                  from_batch_id: int = 0) -> int:
+    """Merge every index partition with from_batch_id <= batch_id <=
+    upto_batch_id into one consolidated partition labeled batch_id =
+    upto_batch_id.  Returns the number of rows compacted.
+
+    from_batch_id makes compaction INCREMENTAL: a periodic job passes
+    the previous consolidation point, merging only the new small
+    partitions into one — O(new rows) per run, not O(total index) —
+    so the index converges to one consolidated partition per
+    compaction epoch plus the current tail.  (At 1e12-file scale a
+    full rewrite per compaction would dominate the ingest cost.)
 
     The growable index gains one (small) partition per micro-batch; at
     ingest rates measured in batches-per-minute that is thousands of
@@ -271,7 +279,8 @@ def compact_index(spark: SparkSession, index_path: str,
     compaction converges.  Deletion goes through the Hadoop FileSystem
     API, so the same code path works on HDFS/S3A at cluster scale."""
     all_rows = spark.read.parquet(index_path)
-    old = all_rows.filter(F.col("batch_id") <= upto_batch_id)
+    old = all_rows.filter((F.col("batch_id") >= from_batch_id)
+                          & (F.col("batch_id") <= upto_batch_id))
     n = old.count()
     if n == 0:
         return 0
@@ -294,7 +303,7 @@ def compact_index(spark: SparkSession, index_path: str,
             bid = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if bid < upto_batch_id:
+        if from_batch_id <= bid < upto_batch_id:
             fs.delete(st.getPath(), True)
     return n
 

@@ -417,6 +417,26 @@ def test_stream_vs_stream_dedup_with_growable_index(spark, tmp_path):
     handle(b3, 2)                            # replay after compaction
     assert dup_paths() == sorted(expected3)
 
+    # incremental compaction: merge only the tail [2..3] into partition 3,
+    # leaving the epoch-1 consolidation untouched (O(new rows), not
+    # O(total index))
+    u3_text = "\n".join(f"line {i}: wholly distinct payload token_{i}"
+                         for i in range(12)) + "\n"
+    b4 = signed([("r", "u3", "j" * 40, "py", u3_text)])
+    batches.append(b4)
+    handle(b4, 3)
+    n2 = compact_index(spark, index, upto_batch_id=3, from_batch_id=2)
+    assert n2 == 2                       # only batches 2 and 3 rewritten
+    idx3 = spark.read.parquet(index)
+    assert idx3.count() == 8
+    assert set(r.batch_id for r in
+               idx3.select("batch_id").distinct().collect()) == {1, 3}
+    # a later batch still sees everything: u3's dup partner pairs up
+    b5 = signed([("r", "u3b", "k" * 40, "py", u3_text + "# tail\n")])
+    batches.append(b5)
+    handle(b5, 4)
+    assert dup_paths() == sorted(expected3 + [("u3", "u3b")])
+
 
 def test_pipeline_token_unit_end_to_end(spark):
     """shingle_unit='token' wires through signatures -> clusters (the
