@@ -95,11 +95,21 @@ def read_text_records(spark: SparkSession, path: str, delimiter: str = "\t",
       first delimiter and the remainder is metadata; lines with no
       delimiter are DROPPED (reference read_csv,
       parse_geodata.cpp:85-93 "cannot find end of first column,
-      skipping").  Ids are line hashes (the reference uses array
-      positions).  Combine with header=True for the reference's CSV
-      shape (one header line consumed per file, :82-83).
+      skipping").  Ids are the global line position among KEPT lines —
+      the reference's array positions — so byte-identical lines stay
+      distinct records (a content-hash id would silently collapse them
+      into one row and under-count exact duplicates).  Combine with
+      header=True for the reference's CSV shape (one header line
+      consumed per file, :82-83).
     * with_id=False: plain one-record-per-line; ids are the stable
       global line index (the reference's line-number ids).
+
+    Id-stability contract for the positional forms (payload='before'
+    and with_id=False): ids are stable for a FIXED file set only —
+    adding or removing files from the glob shifts the global line
+    numbering, so re-ingesting a grown directory assigns different ids
+    to the same lines.  Store the output (or use the delimiter form's
+    explicit record ids) when ids must survive file-set changes.
 
     repo = source file name, path = "rec/<id>", commit = NULL (the
     normalize() id encoding handles NULL injectively)."""
@@ -113,10 +123,11 @@ def read_text_records(spark: SparkSession, path: str, delimiter: str = "\t",
         after = F.col("value").substr(F.instr("value", d) + len(d),
                                       F.length("value"))
         if payload == "before":
-            rec = lines.filter(has_d).select(
-                "src_file",
-                F.lower(F.hex(F.xxhash64("value"))).alias("rec_id"),
-                before.alias("content"))
+            # positional ids over the kept (delimited) lines — the
+            # reference's array positions (parse_geodata.cpp:95-118);
+            # NOT a content hash, which would merge repeated lines
+            rec = _line_number_ids(lines.filter(has_d)) \
+                .withColumn("content", F.substring_index("content", d, 1))
         else:
             rec = lines.select(
                 "src_file",

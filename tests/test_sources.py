@@ -91,6 +91,27 @@ def test_csv_wkt_header_variant(spark, tmp_path):
                    ("b.csv", "POINT (9 9)")]
 
 
+def test_csv_repeated_lines_stay_distinct(spark, tmp_path):
+    """r4 advice: payload='before' used xxhash64(line) as the record
+    id, so byte-identical lines within a file collapsed to ONE record
+    (same (repo, path)) and exact-dup counts diverged from the
+    reference's array-position semantics.  Positional ids keep them
+    distinct."""
+    from polyminhash_spark.sources.text_source import read_csv_wkt
+
+    f = tmp_path / "rep.csv"
+    f.write_text("wkt\tname\n"
+                 "POINT (1 1)\ta\n"
+                 "POINT (1 1)\ta\n"     # byte-identical line
+                 "POINT (2 2)\tb\n")
+    df = read_csv_wkt(spark, str(f))
+    rows = df.collect()
+    assert len(rows) == 3                                # no collapse
+    assert len({r["path"] for r in rows}) == 3           # distinct ids
+    assert sorted(r["content"] for r in rows) == \
+        ["POINT (1 1)", "POINT (1 1)", "POINT (2 2)"]
+
+
 def test_cli_text_input_end_to_end(tmp_path):
     """`cli run --input-format text` on a tab-separated fixture — the
     reference workflow `spjoin data.wkt ...` ported without converting
