@@ -78,6 +78,17 @@ class DedupConfig:
     max_bucket_size: int = 1000
     salt_buckets: int = 8
     shuffle_partitions: int = 32
+    # Megabucket pre-split (operators/candidates.py): salts the
+    # candidate groupBy key itself so a near-dup crowd beyond task
+    # memory is processed as bounded per-task slices linked through
+    # their minima.  0 = AUTO — run_pipeline enables
+    # presplit_auto_slices when the representative count reaches
+    # presplit_auto_threshold (the regime where 1e7+-member template
+    # crowds become plausible and slicing cost is noise), else stays
+    # exact; 1 = always exact under-cap all-pairs; >1 = forced.
+    presplit_slices: int = 0
+    presplit_auto_threshold: int = 100_000_000
+    presplit_auto_slices: int = 16
 
     # --- misc ---
     max_shingles_per_doc: int = 1 << 18   # distinct-shingle cap per row (memory guard)
@@ -92,6 +103,10 @@ class DedupConfig:
             raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
         if self.minhash_impl not in ("perm", "oph"):
             raise ValueError(f"bad minhash_impl {self.minhash_impl!r}")
+        if self.presplit_slices < 0:
+            raise ValueError(
+                f"presplit_slices must be >= 0 (0 = auto): "
+                f"{self.presplit_slices}")
 
     # Reference seed derivation: seed + band*123 + row*17
     # (reference src/query.cpp:427-429).  Permutation i belongs to band

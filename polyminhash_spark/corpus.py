@@ -147,24 +147,24 @@ def _mutate(rng: random.Random, content: str, kind: str, edit_rate: float) -> st
     raise ValueError(kind)
 
 
-def generate_corpus(params: CorpusParams) -> tuple[list[dict], list[dict]]:
-    """Returns (rows, truth).  rows: input_hint-shaped dicts.  truth: one
-    dict per row with (repo, path, commit, true_group_id, mutation_kind);
-    true_group_id == -1 for singletons."""
+def _corpus_stream(params: CorpusParams):
+    """Yield (row, truth) pairs one file at a time — the streaming core
+    of generate_corpus, so multi-million-file corpora never hold all
+    rows in Python lists (the r4 pure-list generator died by silent
+    SIGKILL above ~2.6M files).  The RNG call order is IDENTICAL to
+    the r4 list-building code, so every (params, seed) reproduces the
+    exact same corpus bytes."""
     rng = random.Random(params.seed)
     mut_kinds = ["identical", "whitespace", "comment", "token_edit", "crlf"]
 
     n_dup_members = int(params.n_files * params.dup_frac)
-    rows: list[dict] = []
-    truth: list[dict] = []
-    group_id = 0
-    file_no = 0
+    state = {"file_no": 0}
 
     def commit_of(i: int) -> str:
         return hashlib.sha1(f"commit-{params.seed}-{i}".encode()).hexdigest()
 
-    def emit(content: str, lang: str, gid: int, kind: str) -> None:
-        nonlocal file_no
+    def build(content: str, lang: str, gid: int, kind: str) -> tuple[dict, dict]:
+        file_no = state["file_no"]
         if params.hot_repo_frac > 0 and rng.random() < params.hot_repo_frac:
             repo = "org0/repo0"
         else:
@@ -172,37 +172,53 @@ def generate_corpus(params: CorpusParams) -> tuple[list[dict], list[dict]]:
         if params.license_header_frac > 0 and rng.random() < params.license_header_frac:
             content = LICENSE_HEADER + content
         path = f"src/{lang}/file_{file_no:06d}.{lang[:2]}"
-        rows.append({
+        row = {
             "repo": repo, "path": path, "commit": commit_of(file_no),
             "lang": lang, "content": content,
-        })
-        truth.append({
+        }
+        truth = {
             "repo": repo, "path": path, "commit": commit_of(file_no),
             "true_group_id": gid, "mutation_kind": kind,
-        })
-        file_no += 1
+        }
+        state["file_no"] += 1
+        return row, truth
 
     # duplicate groups of size 2-5
     emitted_dups = 0
+    group_id = 0
     while emitted_dups < n_dup_members:
         lang = rng.choice(LANGS)
         size = min(rng.randrange(2, 6), n_dup_members - emitted_dups + 1)
         if size < 2:
             size = 2
         base = _base_content(rng, lang, max(8, int(rng.gauss(params.avg_lines, 6))))
-        emit(base, lang, group_id, "base")
+        yield build(base, lang, group_id, "base")
         for _ in range(size - 1):
             kind = rng.choice(mut_kinds)
-            emit(_mutate(rng, base, kind, params.token_edit_rate), lang, group_id, kind)
+            yield build(_mutate(rng, base, kind, params.token_edit_rate),
+                        lang, group_id, kind)
         emitted_dups += size
         group_id += 1
 
     # singletons
-    while file_no < params.n_files:
+    while state["file_no"] < params.n_files:
         lang = rng.choice(LANGS)
-        emit(_base_content(rng, lang, max(8, int(rng.gauss(params.avg_lines, 6)))),
-             lang, -1, "singleton")
+        yield build(
+            _base_content(rng, lang, max(8, int(rng.gauss(params.avg_lines, 6)))),
+            lang, -1, "singleton")
 
+
+def generate_corpus(params: CorpusParams) -> tuple[list[dict], list[dict]]:
+    """Returns (rows, truth).  rows: input_hint-shaped dicts.  truth: one
+    dict per row with (repo, path, commit, true_group_id, mutation_kind);
+    true_group_id == -1 for singletons.  Materializes _corpus_stream —
+    fine for test-sized corpora; use write_corpus_parquet for millions
+    of files (bounded memory)."""
+    rows: list[dict] = []
+    truth: list[dict] = []
+    for row, t in _corpus_stream(params):
+        rows.append(row)
+        truth.append(t)
     return rows, truth
 
 
@@ -219,15 +235,45 @@ def corpus_spark_df(spark, params: CorpusParams):
     return spark.createDataFrame(rows, schema)
 
 
-def write_corpus_parquet(path: str, params: CorpusParams) -> None:
+def write_corpus_parquet(path: str, params: CorpusParams,
+                         chunk_rows: int = 131_072) -> None:
     """Write the corpus as parquet without Spark (pyarrow) — used by the
-    bench harness so generation cost stays out of the timed window."""
+    bench harness so generation cost stays out of the timed window.
+
+    Streams _corpus_stream through a ParquetWriter in chunk_rows
+    batches, so peak memory is one chunk (~100-200 MB of content)
+    regardless of n_files — the r4 version built every row in a Python
+    list first and was SIGKILLed above ~2.6M files, which forced the
+    5.2M scaling corpus to be stitched from two seeds."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows, _ = generate_corpus(params)
-    cols = {k: [r[k] for r in rows] for k in ("repo", "path", "commit", "lang", "content")}
-    # small row groups keep the file splittable: Spark parallelizes a
-    # parquet scan at row-group granularity, and a single giant row
-    # group serializes the whole normalize stage onto one task
-    pq.write_table(pa.table(cols), path, row_group_size=4096)
+    cols = ("repo", "path", "commit", "lang", "content")
+    schema = pa.schema([(k, pa.string()) for k in cols])
+    writer = None
+    buf: dict[str, list] = {k: [] for k in cols}
+    n = 0
+    try:
+        for row, _ in _corpus_stream(params):
+            for k in cols:
+                buf[k].append(row[k])
+            n += 1
+            if n >= chunk_rows:
+                if writer is None:
+                    writer = pq.ParquetWriter(path, schema)
+                # small row groups keep the file splittable: Spark
+                # parallelizes a parquet scan at row-group granularity,
+                # and a single giant row group serializes the whole
+                # normalize stage onto one task
+                writer.write_table(pa.table(buf, schema=schema),
+                                   row_group_size=4096)
+                buf = {k: [] for k in cols}
+                n = 0
+        if n or writer is None:
+            if writer is None:
+                writer = pq.ParquetWriter(path, schema)
+            writer.write_table(pa.table(buf, schema=schema),
+                               row_group_size=4096)
+    finally:
+        if writer is not None:
+            writer.close()

@@ -95,7 +95,7 @@ def lsh_cosine_near_dup_pairs(data: DataFrame, threshold_x1m: int, dim: int,
                               n_planes: int = 8, n_tables: int = 4,
                               seed: int = 0, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              max_bucket_size: int = 100_000,
+                              max_bucket_size: int = 2000,
                               salt_buckets: int = 8) -> DataFrame:
     """Bucketed embedding near-duplicate PAIRS (the threshold flavor of
     the dedup operator set): candidates = hyperplane-LSH bucket

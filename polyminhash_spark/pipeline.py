@@ -32,6 +32,31 @@ from polyminhash_spark.operators.verify import verify_pairs
 from polyminhash_spark.sources.catalog import StageCatalog, source_fingerprint
 
 
+def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) over all
+    completed Spark stages, via the documented REST monitoring API.
+    None when the UI server is disabled (the default in tests —
+    bench/scaling runs enable it so per-stage shuffle bytes land in
+    the metrics table; see r4 verdict #5: measure the bandwidth-bound
+    fraction per stage instead of inferring it)."""
+    try:
+        import json as _json
+        from urllib.request import urlopen
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urlopen(f"{base}/api/v1/applications/{app_id}/stages"
+                     "?status=complete", timeout=5) as r:
+            stages = _json.loads(r.read())
+        rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return rd, wr
+    except Exception:
+        return None   # monitoring must never fail the pipeline
+
+
 @dataclass
 class PipelineResult:
     normalized: DataFrame     # all rows + ids + shas
@@ -58,6 +83,22 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
 
     def stage(name: str, build, inputs: list[str]) -> DataFrame:
         t0 = _time.time()
+        sh0 = shuffle_totals(spark) if collect_metrics else None
+
+        def record_shuffle() -> None:
+            # stage() materializes eagerly (count/write), so the delta
+            # attributes each Spark stage to the pipeline stage that
+            # actually executed it
+            if sh0 is None:
+                return
+            sh1 = shuffle_totals(spark)
+            if sh1 is None:
+                return
+            metrics[f"{name}_shuffle_read_mb"] = round(
+                (sh1[0] - sh0[0]) / 1e6, 2)
+            metrics[f"{name}_shuffle_write_mb"] = round(
+                (sh1[1] - sh0[1]) / 1e6, 2)
+
         if cat is None:
             # un-checkpointed mode: cache stage outputs AND materialize
             # them eagerly — downstream consumers (CC iterations,
@@ -68,6 +109,7 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             df = build().persist()
             df.count()
             metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
+            record_shuffle()
             return df
         fps = [src_fp if i == "source" else (cat.fingerprint(i) or i)
                for i in inputs]
@@ -77,6 +119,7 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             return cached
         out = cat.write_stage(name, build(), ch, fps)
         metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
+        record_shuffle()
         return out
 
     normalized = stage("normalized", lambda: normalize(source, cfg), ["source"])
@@ -92,9 +135,23 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     signed = stage("signatures", build_signatures, ["exact_groups"])
 
     def build_candidates() -> DataFrame:
+        slices = cfg.presplit_slices
+        if slices == 0:
+            # AUTO: enable the megabucket pre-split only at the scale
+            # where template crowds beyond task memory become
+            # plausible (config.presplit_auto_threshold) — below it
+            # the exact under-cap all-pairs path is both safe and the
+            # stronger recall guarantee.  signed is already
+            # materialized (persisted or checkpointed), so the count
+            # is cached/metadata, not a recompute.
+            n_reps = signed.count()
+            slices = (cfg.presplit_auto_slices
+                      if n_reps >= cfg.presplit_auto_threshold else 1)
+        metrics["presplit_slices"] = slices
         bands_df = explode_bands(signed)
         pairs, bucket_stats = candidate_pairs(
-            bands_df, cfg.max_bucket_size, cfg.salt_buckets)
+            bands_df, cfg.max_bucket_size, cfg.salt_buckets,
+            presplit_slices=slices)
         if collect_metrics:
             bs = bucket_stats.agg(
                 F.count(F.lit(1)).alias("n_buckets"),

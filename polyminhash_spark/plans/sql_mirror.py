@@ -35,6 +35,7 @@ BF_SUBSET = 150        # brute-force oracle subset bound (doc_id < BF_SUBSET)
 DUP_THRESHOLD_NUM = 2  # dup iff 2*inter >= union  (jaccard >= 0.5)
 EMB_QUERIES = 120      # embedding queries subset (vec_id < EMB_QUERIES)
 EMB_K = 5
+PRESPLIT_SLICES = 4    # driver config for the sliced-candidates oracle
 N_PLANES = 8
 
 
@@ -251,6 +252,33 @@ def q_bucket_histogram(d: Dialect) -> str:
 
 def q_candidates(d: Dialect) -> str:
     return _with(*full_chain(d)[:7]) + "SELECT doc_a, doc_b FROM cands"
+
+
+def q_candidates_presplit(d: Dialect) -> str:
+    """Megabucket pre-split candidate semantics (operators/candidates.py
+    presplit_slices, r4 judge finding #1) re-derived in pure SQL:
+    slice = doc_id % PRESPLIT_SLICES (the operator's bigint slice
+    function, chosen id-derived precisely so this oracle CAN mirror
+    it), all pairs WITHIN a (band, band_key, slice) group, plus one
+    link pair per cross-slice pair of per-slice minima.  Mirror-config
+    buckets are far under the cap, so the within-slice term is plain
+    all-pairs — the same no-salting assumption q_candidates makes."""
+    s = PRESPLIT_SLICES
+    return _with(*full_chain(d)[:6]) + (
+        f", sk AS (SELECT doc_id, band, band_key, doc_id % {s} AS sl FROM bk)"
+        "\n, wi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.band AS band FROM sk a JOIN sk b ON a.band = b.band "
+        "AND a.band_key = b.band_key AND a.sl = b.sl "
+        "AND a.doc_id < b.doc_id)"
+        "\n, mins AS (SELECT band, band_key, sl, MIN(doc_id) AS m FROM sk "
+        "GROUP BY band, band_key, sl)"
+        "\n, li AS (SELECT a.m AS doc_a, b.m AS doc_b, a.band AS band "
+        "FROM mins a JOIN mins b ON a.band = b.band "
+        "AND a.band_key = b.band_key AND a.sl <> b.sl AND a.m < b.m)"
+        "\nSELECT doc_a, doc_b, COUNT(*) AS n_shared_bands FROM "
+        "(SELECT * FROM wi UNION ALL SELECT * FROM li) u "
+        "GROUP BY doc_a, doc_b"
+    )
 
 
 def q_verify(d: Dialect) -> str:
@@ -554,6 +582,59 @@ def q_simhash_bands(d: Dialect) -> str:
     )
 
 
+def simhash64_sql(d: Dialect) -> str:
+    """64-bit-frame SimHash over the mirror's shingle hashes: majority
+    vote per bit, packed positive.  The mirror's h15 keys carry 60
+    bits, so bits 60-63 are structurally zero (majority of all-zero is
+    zero) — the value is always a non-negative bigint, which keeps the
+    chunk extraction below portable across both dialects' >> semantics.
+    Shared by the Spark operator input AND the DuckDB oracle so both
+    sides band the identical signature."""
+    bits = []
+    for j in range(60):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ({d.shr('h', j)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << j} ELSE 0 END)")
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d)) + (
+        "SELECT doc_id, cast(" + " + ".join(bits) +
+        " as bigint) AS simhash64 FROM ghash GROUP BY doc_id")
+
+
+def q_simhash_bands64(d: Dialect) -> str:
+    """r4 verdict #6: the PRODUCTION combination-banding config (bits=64,
+    hamming_max=3 -> m=6 chunks of ceil(64/6)=11 bits, C(6,3)=20 bands
+    keyed on the selected chunks packed low-to-high) — previously
+    oracled only at the 16-bit/3-bit-chunk driver config, with the
+    64-bit shape gated by an in-test numpy oracle.  Re-derives the
+    band enumeration (itertools.combinations order) and 11-bit packing
+    independently of the operator."""
+    import itertools
+
+    bits = []
+    for j in range(60):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ({d.shr('h', j)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << j} ELSE 0 END)")
+    chunk_cols = ", ".join(
+        f"{d.shr('s', c * 11)} % 2048 AS k{c}" for c in range(6))
+    selects = []
+    for band, (c0, c1, c2) in enumerate(itertools.combinations(range(6), 3)):
+        key = f"k{c0} + k{c1} * 2048 + k{c2} * 4194304"
+        if band == 0:
+            selects.append(f"SELECT {band} AS band, {key} AS band_key, "
+                           "doc_id FROM chunks")
+        else:
+            selects.append(f"SELECT {band}, {key}, doc_id FROM chunks")
+    return _with(cte_docs(d), cte_grams(d), cte_ghash(d)) + (
+        ", sim AS (SELECT doc_id, cast(" + " + ".join(bits) +
+        " as bigint) AS s FROM ghash GROUP BY doc_id) "
+        f", chunks AS (SELECT doc_id, {chunk_cols} FROM sim) "
+        ", bands AS (" + " UNION ALL ".join(selects) + ") "
+        "SELECT band, band_key, cast(count(*) as bigint) AS bucket_n "
+        "FROM bands GROUP BY band, band_key HAVING count(*) >= 2"
+    )
+
+
 def q_embedding_lsh_topk(d: Dialect) -> str:
     """Scale-path ANN: top-k restricted to hyperplane-LSH bucket
     co-members (the bucketed variant of q_embedding_topk)."""
@@ -763,6 +844,7 @@ QUERIES = {
     "bands": q_bands,                        # O14
     "bucket_histogram": q_bucket_histogram,  # O14 group-by
     "candidates": q_candidates,              # O15
+    "candidates_presplit": q_candidates_presplit,  # O15 megabucket mode
     "verify_pairs": q_verify,                # O16
     "est_vs_exact": q_est_vs_exact,          # O17
     "topk_neighbors": q_topk,                # O18/O19
@@ -782,6 +864,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,  # cosine near-dup pairs
     "simhash_near_dup": q_simhash_near_dup,      # SimHash dedup path
     "simhash_bands": q_simhash_bands,            # combination banding histogram
+    "simhash_bands64": q_simhash_bands64,        # production 64-bit config
 }
 
 

@@ -15,6 +15,25 @@ def test_corpus_deterministic():
     assert generate_corpus(CorpusParams(n_files=100, seed=43))[0] != r1
 
 
+def test_chunked_parquet_writer_matches_generate(tmp_path):
+    """write_corpus_parquet streams in bounded chunks (r4: the all-rows
+    list build was SIGKILLed above ~2.6M files); a tiny chunk size
+    forces several flushes plus a partial tail and the file must equal
+    the materialized rows exactly, in order."""
+    import pyarrow.parquet as pq
+
+    from polyminhash_spark.corpus import write_corpus_parquet
+
+    p = CorpusParams(n_files=257, seed=42)   # not a chunk multiple
+    rows, _ = generate_corpus(p)
+    f = tmp_path / "c.parquet"
+    write_corpus_parquet(str(f), p, chunk_rows=100)
+    got = pq.read_table(str(f)).to_pylist()
+    assert got == rows
+    # splittability is preserved: several small row groups, not one
+    assert pq.ParquetFile(str(f)).metadata.num_row_groups >= 3
+
+
 def test_corpus_schema_and_groups():
     p = CorpusParams(n_files=200, dup_frac=0.3, seed=42)
     rows, truth = generate_corpus(p)
