@@ -89,6 +89,15 @@ class DedupConfig:
     presplit_slices: int = 0
     presplit_auto_threshold: int = 100_000_000
     presplit_auto_slices: int = 16
+    # band_key_bits=32 narrows the LSH bucket key to the top 32 bits
+    # of the mix64 band fold — 4 B/row less on the band-table shuffle,
+    # at the price of hashing ~n*bands rows into a 4e9 key space.
+    # Collisions only ADD candidate pairs (verify is exact, clusters
+    # unchanged w.h.p.), so it is safe below ~1e9 rows; the 64-bit
+    # default is the 1e11-scale setting where a 32-bit space would
+    # manufacture megabuckets from random collisions.  Measured trade
+    # in BENCH/BASELINE.md (r5 band-key-width section).
+    band_key_bits: int = 64
 
     # --- misc ---
     max_shingles_per_doc: int = 1 << 18   # distinct-shingle cap per row (memory guard)
@@ -107,6 +116,9 @@ class DedupConfig:
             raise ValueError(
                 f"presplit_slices must be >= 0 (0 = auto): "
                 f"{self.presplit_slices}")
+        if self.band_key_bits not in (32, 64):
+            raise ValueError(
+                f"band_key_bits must be 32 or 64: {self.band_key_bits}")
 
     # Reference seed derivation: seed + band*123 + row*17
     # (reference src/query.cpp:427-429).  Permutation i belongs to band

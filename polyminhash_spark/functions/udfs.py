@@ -22,6 +22,19 @@ SIGNATURE_SCHEMA = (
 )
 
 
+def _band_key_array(bkeys: np.ndarray, bits: int):
+    """Flat Arrow array for the band-key matrix at the configured key
+    width: int64 bit-pattern view (default) or the TOP 32 bits of the
+    mix64 fold as int32 (config.band_key_bits=32 — the narrow-shuffle
+    experiment; top bits so the fold's best-mixed bits survive)."""
+    import pyarrow as pa
+
+    if bits == 32:
+        narrow = (bkeys >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        return pa.array(narrow.reshape(-1), type=pa.int32())
+    return pa.array(bkeys.reshape(-1).view(np.int64), type=pa.int64())
+
+
 def _sig32(sig: np.ndarray) -> np.ndarray:
     """Low 32 bits of each signature slot, bit-pattern int32.
 
@@ -83,6 +96,7 @@ def make_signature_map(cfg: DedupConfig, content_col: str = "norm_content",
     max_sh = cfg.max_shingles_per_doc
     seed_list = cfg.perm_seeds()
     impl = cfg.minhash_impl
+    kb = cfg.band_key_bits
 
     def mapper(batches):
         seeds = K.mixed_seeds(seed_list)
@@ -94,7 +108,11 @@ def make_signature_map(cfg: DedupConfig, content_col: str = "norm_content",
             out["minhash32"] = list(_sig32(sig))
             out["simhash"] = simh
             out["n_shingles"] = counts
-            out["bands"] = list(bkeys.view(np.int64))
+            if kb == 32:
+                out["bands"] = list(
+                    (bkeys >> np.uint64(32)).astype(np.uint32).view(np.int32))
+            else:
+                out["bands"] = list(bkeys.view(np.int64))
             yield pd.DataFrame(out)
 
     return mapper
@@ -116,6 +134,7 @@ def make_signature_arrow_map(cfg: DedupConfig,
     max_sh = cfg.max_shingles_per_doc
     seed_list = cfg.perm_seeds()
     impl = cfg.minhash_impl
+    kb = cfg.band_key_bits
 
     def _batch_shingles(col):
         """Zero-copy shingling: an Arrow string column's data buffer IS
@@ -161,9 +180,7 @@ def make_signature_arrow_map(cfg: DedupConfig,
                                     type=pa.int32())),
                 pa.array(simh, type=pa.int64()),
                 pa.array(counts, type=pa.int32()),
-                pa.ListArray.from_arrays(
-                    off_b, pa.array(bkeys.reshape(-1).view(np.int64),
-                                    type=pa.int64())),
+                pa.ListArray.from_arrays(off_b, _band_key_array(bkeys, kb)),
             ]
             names += ["minhash32", "simhash", "n_shingles", "bands"]
             yield pa.RecordBatch.from_arrays(cols, names=names)

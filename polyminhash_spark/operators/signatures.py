@@ -57,11 +57,12 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
     # (the object is cached on the DataFrame; mutating it corrupts every
     # later plan built from the same frame)
     carry_fields = [f for f in narrow.schema.fields if f.name in carry_cols]
+    key_type = LongType() if cfg.band_key_bits == 64 else IntegerType()
     out_schema = StructType(carry_fields + [
         StructField("minhash32", ArrayType(IntegerType())),
         StructField("simhash", LongType()),
         StructField("n_shingles", IntegerType()),
-        StructField("bands", ArrayType(LongType())),
+        StructField("bands", ArrayType(key_type)),
     ])
     mapper = make_signature_arrow_map(cfg, carry_cols=carry_cols)
     sc = normalized.sparkSession.sparkContext

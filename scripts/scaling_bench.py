@@ -40,8 +40,12 @@ spark = build_session(app_name="polyminhash-scaling", master="local[{cores}]",
                       shuffle_partitions={parts})
 src = spark.read.parquet({corpus!r})
 src.count()  # warm the scan outside the timed window
+cfg = default_config()
+_kb = os.environ.get("POLYMINHASH_BAND_KEY_BITS")
+if _kb:  # band-key-width experiment (BENCH/BASELINE.md r5)
+    cfg = cfg.with_(band_key_bits=int(_kb))
 t0 = time.time()
-res = run_pipeline(spark, src, default_config(), collect_metrics=False)
+res = run_pipeline(spark, src, cfg, collect_metrics=False)
 n_clusters = res.clusters.select("cluster_id").distinct().count()
 wall = time.time() - t0
 print(json.dumps({{"cores": {cores}, "wall_sec": round(wall, 2),
@@ -54,7 +58,9 @@ def _load1() -> float:
     return os.getloadavg()[0]
 
 
-def run_level(cores: int, corpus: str, repeats: int = 2) -> dict:
+def run_level(cores: int, corpus: str,
+              repeats: int = int(os.environ.get(
+                  "POLYMINHASH_SCALING_REPEATS", "2"))) -> dict:
     """Best-of-N wall time for one parallelism level.  The sandbox host
     has noisy neighbors (load >> 0 with zero container processes), so a
     single run has ~2x variance; the MIN over repeats is the honest
