@@ -27,6 +27,7 @@ def _cfg_from_args(args) -> "DedupConfig":
         shingle_k=args.k, num_perm=args.num_perm, bands=args.bands,
         rows_per_band=args.num_perm // args.bands, seed=args.seed,
         jaccard_threshold=args.threshold, max_bucket_size=args.max_bucket,
+        presplit_slices=getattr(args, "presplit_slices", 0),
     )
 
 
@@ -125,6 +126,10 @@ def main(argv=None) -> int:
         sp.add_argument("--seed", type=int, default=100)
         sp.add_argument("--threshold", type=float, default=0.8)
         sp.add_argument("--max-bucket", dest="max_bucket", type=int, default=1000)
+        sp.add_argument("--presplit-slices", dest="presplit_slices",
+                        type=int, default=0,
+                        help="megabucket pre-split: 0=auto, 1=exact, "
+                             ">1=forced slice count")
 
     r = sub.add_parser("run", help="full dedup pipeline")
     r.add_argument("--input", required=True)
