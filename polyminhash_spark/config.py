@@ -56,16 +56,26 @@ class DedupConfig:
     min_band_matches: int = 2
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
     # est_tier=False drops the tier-1 signature-estimate entirely: no
-    # minhash32 attach joins (the last array shuffle in the pipeline),
-    # relying on tier-0 band counts + the SimHash tier to gate the
-    # exact-verify UDF.  Measured: clusters bit-identical either way
-    # (SimHash ham<=16 prunes almost as hard — n_verified 28,767 vs
-    # 28,769 at 300k), but ON is faster end-to-end (60.2 vs 66.1 s at
-    # 300k/32c, same load window; tied at 100k) — the est cut saves
-    # more Python-UDF work than its 512 B/pair attach costs.  Flip to
-    # False only when shuffle bytes, not CPU, bind (e.g. network-tight
-    # clusters with cheap executors).
-    est_tier: bool = True
+    # minhash32 attach joins (the largest array shuffle in the
+    # pipeline — 38% of all shuffle bytes at 1M, measured per stage in
+    # BENCH/BASELINE.md r5), relying on tier-0 band counts + the
+    # SimHash tier to gate the exact-verify UDF.  Clusters are
+    # bit-identical either way (measured at 300k AND 2.6M; SimHash
+    # ham<=16 prunes almost as hard — n_verified 28,767 vs 28,769 at
+    # 300k), but which setting is FASTER depends on scale: at <=300k
+    # the est cut saves more Python-UDF work than its 512 B/pair
+    # attach costs (ON 60.2 vs OFF 66.1 s at 300k/32c), while at 2.6M
+    # the attach bytes dominate (OFF 186.9 vs ON 245.9 s at 32c, OFF
+    # 412.8 vs ON 430.5 at 8c — and the 8c/32c asymmetry lifts
+    # scaling efficiency 0.444 -> 0.552, BENCH/BASELINE.md r5).
+    # None (default) = AUTO: run_pipeline resolves by representative
+    # count against est_auto_threshold.  The measured crossover lies
+    # between 300k and 2.6M; 500k sits inside it biased low because
+    # OFF's small-n penalty is mild (~10%) while ON's large-n penalty
+    # is 32% and grows with bytes.  Operators called outside
+    # run_pipeline resolve None conservatively to True.
+    est_tier: bool | None = None
+    est_auto_threshold: int = 500_000
     simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
     jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
     top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)

@@ -51,6 +51,10 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
     of the shuffle entirely."""
     if content is None:
         content = signed
+    # est_tier=None (auto) resolves to the conservative True here —
+    # scale-based resolution (rep count vs cfg.est_auto_threshold) is
+    # run_pipeline's job, which passes an explicit bool down
+    est_tier = True if cfg.est_tier is None else cfg.est_tier
     if "n_shared_bands" in pairs.columns and cfg.min_band_matches > 1:
         pairs = pairs.filter(F.col("n_shared_bands") >= cfg.min_band_matches)
     pairs = pairs.select("id_a", "id_b")
@@ -59,11 +63,11 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
     # 2^-32 per-slot false match — and these two joins are the largest
     # array shuffle in the pipeline, so the bytes halve (udfs._sig32).
     # est_tier=False skips the array attach entirely (config rationale).
-    sig_cols = ["minhash32", "simhash"] if cfg.est_tier else ["simhash"]
+    sig_cols = ["minhash32", "simhash"] if est_tier else ["simhash"]
     p = _attach(pairs, signed, "a", sig_cols)
     p = _attach(p, signed, "b", sig_cols)
 
-    if cfg.est_tier:
+    if est_tier:
         p = p.withColumn(
             "est_jaccard",
             F.expr(
@@ -75,7 +79,7 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
         p = p.withColumn("est_jaccard", F.lit(None).cast("double"))
     p = p.withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
 
-    est_ok = (F.col("est_jaccard") >= cfg.prefilter_estimate) if cfg.est_tier \
+    est_ok = (F.col("est_jaccard") >= cfg.prefilter_estimate) if est_tier \
         else F.lit(True)
     survivors = p.filter(
         est_ok & (F.col("hamming") <= cfg.simhash_hamming_max)

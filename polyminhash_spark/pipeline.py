@@ -164,11 +164,23 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         return pairs
 
     cands = stage("candidates", build_candidates, ["signatures"])
-    verified = stage(
-        "verified",
-        lambda: verify_pairs(cands, signed, cfg,
-                             content=normalized.select("id", "norm_content")),
-        ["candidates", "signatures"])
+
+    def build_verified() -> DataFrame:
+        est = cfg.est_tier
+        if est is None:
+            # AUTO: below the threshold the est tier's Python-UDF
+            # savings win; above it the minhash32 attach joins (the
+            # pipeline's largest array shuffle) cost more than the
+            # tier saves (config rationale; BENCH/BASELINE.md r5).
+            # signed is already materialized, so count() is cheap, and
+            # the resolution is deterministic for a fixed input —
+            # checkpoint resume re-resolves identically.
+            est = signed.count() < cfg.est_auto_threshold
+        metrics["est_tier"] = bool(est)
+        return verify_pairs(cands, signed, cfg.with_(est_tier=est),
+                            content=normalized.select("id", "norm_content"))
+
+    verified = stage("verified", build_verified, ["candidates", "signatures"])
 
     def build_clusters() -> DataFrame:
         """CC over rep-level dup edges, then expansion to all rows.

@@ -217,3 +217,35 @@ def test_est_tier_off_identical_clusters(spark):
 
     assert checksum(default_config()) == \
         checksum(default_config().with_(est_tier=False))
+
+
+def test_est_tier_auto_resolves_by_scale(spark):
+    """est_tier=None (the default) resolves by representative count:
+    below est_auto_threshold the tier runs (est_jaccard populated),
+    at/above it the tier and its attach joins are dropped (est_jaccard
+    NULL) — with identical cluster output either way.  The resolved
+    value lands in metrics for observability."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.config import default_config
+    from polyminhash_spark.pipeline import run_pipeline
+
+    params = CorpusParams(n_files=300, dup_frac=0.3, seed=11)
+    src = corpus_spark_df(spark, params)
+
+    small = run_pipeline(spark, src, default_config())
+    assert small.metrics["est_tier"] is True
+    assert small.verified.filter(F.col("est_jaccard").isNull()).count() == 0
+
+    big = run_pipeline(spark, src,
+                       default_config().with_(est_auto_threshold=1))
+    assert big.metrics["est_tier"] is False
+    assert big.verified.filter(F.col("est_jaccard").isNotNull()).count() == 0
+
+    def checksum(res):
+        row = res.clusters.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("id", "cluster_id")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    assert checksum(small) == checksum(big)
