@@ -290,6 +290,26 @@ def _candidates_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("id_b").alias("doc_b"), "n_shared_bands")
 
 
+def _candidates_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 hash-count prefilter through the PRODUCTION operator
+    (operators/candidates.candidate_pairs min_band_matches=2, r5): the
+    sub-threshold pairs cross the dedup shuffle as 8 B hashes; the
+    oracle (q_candidates_prefilter) states the RESULT contract — the
+    plain HAVING COUNT(*) >= 2 cut with exact shared-band counts."""
+    import pyspark.sql.functions as F
+
+    from polyminhash_spark.operators.candidates import candidate_pairs
+    from polyminhash_spark.plans import sql_mirror as M
+
+    _register(spark, sf_dir)
+    bk = spark.sql(M.spark_sql("bands")).select(
+        F.col("doc_id").alias("id"), "band", "band_key")
+    pairs, _ = candidate_pairs(bk, max_bucket_size=1000, salt_buckets=8,
+                               min_band_matches=2)
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"), "n_shared_bands")
+
+
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment via the package operator
     (operators/ivf.py: broadcast centroids + max_by argmax); oracle =
@@ -390,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_bands64"] = _simhash_band_stats64
     out["embedding_near_dup_bucketed"] = _embedding_near_dup_bucketed
     out["candidates_presplit"] = _candidates_presplit
+    out["candidates_prefilter"] = _candidates_prefilter
     out["ivf_assign"] = _ivf_assign
     out["ivf_topk"] = _ivf_topk
     out["ivf_lloyd_assign"] = _ivf_lloyd_assign

@@ -54,6 +54,17 @@ class DedupConfig:
     # P(<2 hits) = (1-p)^32 + 32p(1-p)^31 ~ 1e-6) while cutting the
     # random-collision pair volume ~30x BEFORE any signature shuffle.
     min_band_matches: int = 2
+    # Apply the tier-0 cut INSIDE candidate generation with a
+    # hash-count prefilter (operators/candidates.py): sub-threshold
+    # pairs cross the pair-dedup shuffle as an 8 B xxhash64 instead of
+    # the 32 B packed pair, and only surviving pairs are re-counted
+    # (exactly) at full width.  Output is bit-identical to cutting in
+    # verify; the win is shuffle BYTES on boilerplate-heavy corpora
+    # where most emissions share exactly one band.  Disable at corpus
+    # sizes where the survivor set itself outgrows a broadcast
+    # (~1e10+ dup pairs) — the semi join then degrades to a shuffle
+    # that costs more than it saves.
+    candidate_prefilter: bool = True
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
     # est_tier=False drops the tier-1 signature-estimate entirely: no
     # minhash32 attach joins (the largest array shuffle in the

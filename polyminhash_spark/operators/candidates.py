@@ -155,7 +155,8 @@ def _slice_expr(slices: int, packed: bool) -> str:
 
 
 def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
-                    salt_buckets: int = 8, presplit_slices: int = 1
+                    salt_buckets: int = 8, presplit_slices: int = 1,
+                    min_band_matches: int = 1
                     ) -> tuple[DataFrame, DataFrame]:
     """bands_df (id, band, band_key) -> (pairs (id_a, id_b,
     n_shared_bands), bucket_stats (band, band_key, bucket_n, salted)).
@@ -185,7 +186,27 @@ def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
     count) over FULL buckets (never sliced — it is the megabucket
     monitoring metric) — callers that drop it never pay for it; the
     pair path itself never computes sizes separately or touches the
-    driver."""
+    driver.
+
+    min_band_matches > 1 applies the tier-0 shared-band cut (the
+    pipeline's config.min_band_matches) INSIDE this operator with a
+    hash-count prefilter, so sub-threshold pairs — the vast majority of
+    emissions on boilerplate-heavy corpora, where unrelated files
+    collide in exactly one band — never cross the pair-dedup shuffle at
+    full width: pass 1 shuffles only xxhash64(pair) (8 B vs the 32 B
+    packed pair) and keeps hashes seen >= min_band_matches times; pass
+    2 re-derives the pair stream (the bucket aggregate's exchange is
+    reused — only the JVM pair expressions re-run), semi-joins it
+    against the surviving hashes (AQE turns this into a broadcast hash
+    join whenever the survivor set is small, the regime this prefilter
+    targets), and computes the EXACT per-pair band count on survivors
+    only.  Output is bit-identical to filtering n_shared_bands >=
+    min_band_matches after the fact: a same-hash alien pair rides
+    through the semi join, gets its own exact count in pass 2, and is
+    dropped by the final filter — hash collisions cost work, never
+    correctness.  At corpus sizes where survivors outgrow a broadcast
+    (~1e10+ true dup pairs), disable via config.candidate_prefilter and
+    pay the full-width shuffle instead."""
     packed = _is_binary_id(bands_df)
 
     keys = ["band", "band_key"]
@@ -221,6 +242,20 @@ def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
                          .alias("pair")))
         per_band = per_band.unionByName(links)
 
+    if min_band_matches > 1:
+        # tier-0 hash-count prefilter (see docstring): count 8 B hashes
+        # instead of full pairs, then re-count survivors exactly.  Both
+        # branches share the bucket aggregate's exchange (ReusedExchange
+        # — only the pair expressions re-run on the second traversal).
+        pair_hash = (F.xxhash64("pair") if packed
+                     else F.xxhash64("pair.id_a", "pair.id_b"))
+        surviving = (per_band
+                     .groupBy(pair_hash.alias("ph"))
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .filter(F.col("c") >= min_band_matches)
+                     .select("ph"))
+        per_band = per_band.join(surviving, pair_hash == F.col("ph"),
+                                 "leftsemi")
     if packed:
         pairs = (
             per_band
@@ -243,6 +278,9 @@ def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )
+    if min_band_matches > 1:
+        # exact recheck — drops hash-collision riders from the semi join
+        pairs = pairs.filter(F.col("n_shared_bands") >= min_band_matches)
 
     bucket_stats = (bands_df.groupBy("band", "band_key")
                     .agg(F.count(F.lit(1)).alias("bucket_n"))

@@ -149,9 +149,15 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
                       if n_reps >= cfg.presplit_auto_threshold else 1)
         metrics["presplit_slices"] = slices
         bands_df = explode_bands(signed)
+        # tier-0 moves INSIDE the candidates operator when the
+        # prefilter is on (the hash-count pass keeps sub-threshold
+        # pairs off the full-width dedup shuffle); verify_pairs'
+        # own tier-0 filter stays and is simply a no-op then.
         pairs, bucket_stats = candidate_pairs(
             bands_df, cfg.max_bucket_size, cfg.salt_buckets,
-            presplit_slices=slices)
+            presplit_slices=slices,
+            min_band_matches=(cfg.min_band_matches
+                              if cfg.candidate_prefilter else 1))
         if collect_metrics:
             bs = bucket_stats.agg(
                 F.count(F.lit(1)).alias("n_buckets"),
@@ -202,6 +208,10 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     if collect_metrics:
         metrics["n_records"] = normalized.count()
         metrics["n_reps"] = signed.count()
+        # with candidate_prefilter on (default), candidates are already
+        # tier-0-cut, so n_candidates counts pairs that actually reach
+        # verification (pre-r5 it included sub-threshold pairs too —
+        # compare across rounds via n_verified, whose meaning is stable)
         metrics["n_candidates"] = cands.count()
         metrics["n_verified"] = verified.count()
         metrics["n_dup_pairs"] = verified.filter(F.col("is_duplicate")).count()

@@ -281,6 +281,23 @@ def q_candidates_presplit(d: Dialect) -> str:
     )
 
 
+def q_candidates_prefilter(d: Dialect) -> str:
+    """Tier-0-inside-candidates semantics (operators/candidates.py
+    min_band_matches, r5): pairs sharing >= 2 bands with their exact
+    shared-band count.  The operator routes sub-threshold pairs off
+    the full-width shuffle via an xxhash64 count prefilter; the
+    RESULT contract mirrored here is simply the HAVING cut — hash
+    collisions cost the operator work, never output (riders are
+    re-counted exactly and dropped)."""
+    return _with(*full_chain(d)[:6]) + (
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "COUNT(*) AS n_shared_bands "
+        "FROM bk a JOIN bk b ON a.band = b.band "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2"
+    )
+
+
 def q_verify(d: Dialect) -> str:
     return _with(*full_chain(d)) + (
         "SELECT doc_a, doc_b, inter_n, union_n FROM verify"
@@ -845,6 +862,7 @@ QUERIES = {
     "bucket_histogram": q_bucket_histogram,  # O14 group-by
     "candidates": q_candidates,              # O15
     "candidates_presplit": q_candidates_presplit,  # O15 megabucket mode
+    "candidates_prefilter": q_candidates_prefilter,  # O15 tier-0 prefilter
     "verify_pairs": q_verify,                # O16
     "est_vs_exact": q_est_vs_exact,          # O17
     "topk_neighbors": q_topk,                # O18/O19

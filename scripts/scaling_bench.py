@@ -85,8 +85,15 @@ def run_level(cores: int, corpus: str,
             # surface the subprocess failure (a silent IndexError here
             # hid a GCLocker heap crash during the 2.6M campaign) —
             # 2.6M+ files need POLYMINHASH_DRIVER_MEM=12g
-            print(f"run at {cores} cores produced no result; stderr tail:\n"
-                  + out.stderr[-3000:], file=sys.stderr)
+            # exception-class lines first (a Java stack's tail loses the
+            # "Caused by" header — the 5.2M r5 crash was undiagnosable
+            # from the tail alone), then the raw tail for context
+            errs = [l for l in out.stderr.splitlines()
+                    if "Error" in l or "Exception" in l][:25]
+            print(f"run at {cores} cores produced no result; "
+                  "error lines:\n" + "\n".join(errs)
+                  + "\nstderr tail:\n" + out.stderr[-3000:],
+                  file=sys.stderr)
             raise RuntimeError(f"scaling run failed at {cores} cores")
         r = json.loads(lines[-1])
         r["host_load_before"] = round(load_before, 1)
