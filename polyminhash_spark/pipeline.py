@@ -81,9 +81,27 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
 
     import time as _time
 
-    def stage(name: str, build, inputs: list[str]) -> DataFrame:
+    def stage(name: str, build, inputs: list[str],
+              conf_overrides: dict | None = None) -> DataFrame:
         t0 = _time.time()
         sh0 = shuffle_totals(spark) if collect_metrics else None
+
+        class _conf_ctx:
+            """Temporarily override session confs for one stage's
+            materialization (restored in all paths)."""
+
+            def __enter__(self):
+                self.saved = {}
+                for k, v in (conf_overrides or {}).items():
+                    self.saved[k] = spark.conf.get(k, None)
+                    spark.conf.set(k, v)
+
+            def __exit__(self, *exc):
+                for k, v in self.saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
 
         def record_shuffle() -> None:
             # stage() materializes eagerly (count/write), so the delta
@@ -106,8 +124,9 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             # and AQE plans each stage against realized statistics
             # instead of replanning one deep 15-shuffle lineage
             # (measured ~35% faster end-to-end than the lazy chain)
-            df = build().persist()
-            df.count()
+            with _conf_ctx():
+                df = build().persist()
+                df.count()
             metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
             record_shuffle()
             return df
@@ -117,7 +136,8 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         if cached is not None:
             metrics[f"{name}_resumed"] = True
             return cached
-        out = cat.write_stage(name, build(), ch, fps)
+        with _conf_ctx():
+            out = cat.write_stage(name, build(), ch, fps)
         metrics[f"{name}_sec"] = round(_time.time() - t0, 2)
         record_shuffle()
         return out
@@ -169,7 +189,20 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             metrics["max_bucket"] = int(bs["max_bucket"] or 0)
         return pairs
 
-    cands = stage("candidates", build_candidates, ["signatures"])
+    # The prefiltered candidates plan traverses the bucket aggregate
+    # twice (hash-count branch + survivor semi join); static exchange
+    # reuse makes the band-table map stage run ONCE, but AQE's stage
+    # cache fails to canonicalize exchanges over an InMemoryTableScan
+    # source (measured: the 968 MB band map ran twice at 1M, wiping
+    # the prefilter's byte cut), so this one stage materializes with
+    # AQE off.  Nothing in the candidates query needs AQE: its only
+    # join carries an explicit broadcast hint and partition counts are
+    # fixed; every other stage keeps AQE (skew-join, coalescing).
+    cands_conf = ({"spark.sql.adaptive.enabled": "false"}
+                  if cfg.candidate_prefilter and cfg.min_band_matches > 1
+                  else None)
+    cands = stage("candidates", build_candidates, ["signatures"],
+                  conf_overrides=cands_conf)
 
     def build_verified() -> DataFrame:
         est = cfg.est_tier
