@@ -65,6 +65,12 @@ class DedupConfig:
     # (~1e10+ dup pairs) — the semi join then degrades to a shuffle
     # that costs more than it saves.
     candidate_prefilter: bool = True
+    # Cut the content table to the verify survivors' ids with a
+    # broadcast semi join before the tier-3 attach (operators/verify.py)
+    # instead of shuffling every row's content into the join.  Same
+    # regime note as candidate_prefilter: disable if the survivor id
+    # set outgrows a broadcast (~1e9+ ids); output is identical.
+    verify_semi_filter: bool = True
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
     # est_tier=False drops the tier-1 signature-estimate entirely: no
     # minhash32 attach joins (the largest array shuffle in the

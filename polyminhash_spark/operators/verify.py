@@ -87,6 +87,23 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
 
     verify = make_verify_udf(cfg)
     s = survivors
+    if cfg.verify_semi_filter:
+        # Never shuffle the full corpus content to verify a small pair
+        # set: the tier-0/1/2 survivors reference a tiny fraction of
+        # ids, so cut the content table to exactly those ids FIRST with
+        # a broadcast semi join (distinct survivor ids are recomputed
+        # from the cached candidates frame — cheap), then attach.  At
+        # 1M files this removes ~1 GB of the verified stage's ~1.18 GB
+        # shuffle; without it the attach join shuffles every row's
+        # content.  The hint is explicit for the same reason as the
+        # candidates prefilter: cached-plan materialization gets no AQE
+        # runtime broadcast conversion.  Disable when the survivor id
+        # set itself outgrows a broadcast (~1e9+ ids).
+        need = (s.select(F.col("id_a").alias("id"))
+                .unionByName(s.select(F.col("id_b").alias("id")))
+                .distinct())
+        content = content.select("id", "norm_content").join(
+            F.broadcast(need), "id", "leftsemi")
     s = _attach(s, content, "a", ["norm_content"])
     s = _attach(s, content, "b", ["norm_content"])
     out = s.withColumn(
