@@ -28,6 +28,8 @@ def _cfg_from_args(args) -> "DedupConfig":
         rows_per_band=args.num_perm // args.bands, seed=args.seed,
         jaccard_threshold=args.threshold, max_bucket_size=args.max_bucket,
         presplit_slices=getattr(args, "presplit_slices", 0),
+        candidate_prefilter=not getattr(args, "no_prefilter", False),
+        verify_semi_filter=not getattr(args, "no_verify_semi", False),
     )
 
 
@@ -130,6 +132,14 @@ def main(argv=None) -> int:
                         type=int, default=0,
                         help="megabucket pre-split: 0=auto, 1=exact, "
                              ">1=forced slice count")
+        sp.add_argument("--no-prefilter", dest="no_prefilter",
+                        action="store_true",
+                        help="disable the tier-0 hash-count prefilter "
+                             "(for survivor sets beyond broadcast size)")
+        sp.add_argument("--no-verify-semi", dest="no_verify_semi",
+                        action="store_true",
+                        help="disable the verify content semi-filter "
+                             "(for survivor id sets beyond broadcast size)")
 
     r = sub.add_parser("run", help="full dedup pipeline")
     r.add_argument("--input", required=True)

@@ -35,6 +35,14 @@ def build_session(app_name: str = "polyminhash",
         # the 128-slot minhash arrays).  Runtime-sized => a genuinely
         # large pair side still shuffles; 64m fits 4-8 GB executors.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # the r5 prefilter/semi-filter broadcasts sit DOWNSTREAM of the
+        # heavy bucket/survivor aggregates, so the broadcast build
+        # legitimately waits minutes at low parallelism on multi-million
+        # -file inputs — the 300 s default killed the 5.2M 8-core run
+        # (and was this morning's undiagnosable 32c crash).  The
+        # timeout guards against deadlocked tiny builds, not against
+        # long upstream compute; 2 h keeps the guard without the trap.
+        .config("spark.sql.broadcastTimeout", "7200")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
