@@ -28,8 +28,11 @@ def _cfg_from_args(args) -> "DedupConfig":
         rows_per_band=args.num_perm // args.bands, seed=args.seed,
         jaccard_threshold=args.threshold, max_bucket_size=args.max_bucket,
         presplit_slices=getattr(args, "presplit_slices", 0),
-        candidate_prefilter=not getattr(args, "no_prefilter", False),
-        verify_semi_filter=not getattr(args, "no_verify_semi", False),
+        # absent flag = None = auto-by-scale; flag = explicit off
+        candidate_prefilter=(False if getattr(args, "no_prefilter", False)
+                             else None),
+        verify_semi_filter=(False if getattr(args, "no_verify_semi", False)
+                            else None),
     )
 
 

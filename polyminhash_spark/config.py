@@ -60,17 +60,29 @@ class DedupConfig:
     # the 32 B packed pair, and only surviving pairs are re-counted
     # (exactly) at full width.  Output is bit-identical to cutting in
     # verify; the win is shuffle BYTES on boilerplate-heavy corpora
-    # where most emissions share exactly one band.  Disable at corpus
-    # sizes where the survivor set itself outgrows a broadcast
-    # (~1e10+ dup pairs) — the semi join then degrades to a shuffle
-    # that costs more than it saves.
-    candidate_prefilter: bool = True
+    # where most emissions share exactly one band.  Like est_tier the
+    # trade flips with scale — the extra aggregate + broadcast round
+    # trip costs ~25% wall at 100k files but the byte cut wins 1.5x at
+    # 2.6M — so None (default) = AUTO by representative count
+    # (byte_opt_auto_threshold, resolved in run_pipeline; direct
+    # operator callers resolve None to off).  Explicitly disable at
+    # corpus sizes where the survivor set itself outgrows a broadcast
+    # (~1e10+ dup pairs).
+    candidate_prefilter: bool | None = None
     # Cut the content table to the verify survivors' ids with a
     # broadcast semi join before the tier-3 attach (operators/verify.py)
     # instead of shuffling every row's content into the join.  Same
-    # regime note as candidate_prefilter: disable if the survivor id
-    # set outgrows a broadcast (~1e9+ ids); output is identical.
-    verify_semi_filter: bool = True
+    # scale shape and same AUTO rule as candidate_prefilter; disable
+    # explicitly if the survivor id set outgrows a broadcast
+    # (~1e9+ ids); output is identical either way.
+    verify_semi_filter: bool | None = None
+    # Representative count at which the two byte-path optimizations
+    # auto-enable.  500k sits inside the measured 100k..2.6M crossover,
+    # biased low for the same reason as est_auto_threshold: the
+    # small-n penalty is a bounded constant (~5 s of extra round
+    # trips) while the large-n penalty of full-width shuffles grows
+    # with bytes.
+    byte_opt_auto_threshold: int = 500_000
     prefilter_estimate: float = 0.5   # signature-estimate Jaccard cut before exact verify
     # est_tier=False drops the tier-1 signature-estimate entirely: no
     # minhash32 attach joins (the largest array shuffle in the

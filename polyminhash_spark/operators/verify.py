@@ -87,7 +87,12 @@ def verify_pairs(pairs: DataFrame, signed: DataFrame, cfg: DedupConfig,
 
     verify = make_verify_udf(cfg)
     s = survivors
-    if cfg.verify_semi_filter:
+    # None (auto) resolves to off here — scale-based resolution is
+    # run_pipeline's job (it passes an explicit bool down); direct
+    # operator callers (streaming micro-batches, knn query sets) are
+    # small-input contexts where the semi filter's fixed cost loses
+    semi = bool(cfg.verify_semi_filter)
+    if semi:
         # Never shuffle the full corpus content to verify a small pair
         # set: the tier-0/1/2 survivors reference a tiny fraction of
         # ids, so cut the content table to exactly those ids FIRST with

@@ -154,6 +154,16 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
 
     signed = stage("signatures", build_signatures, ["exact_groups"])
 
+    def _resolve_auto(flag: bool | None) -> bool:
+        # AUTO = enable the byte-path optimization only at the scale
+        # where its bounded small-n cost is outweighed by its
+        # byte-proportional win (config.byte_opt_auto_threshold;
+        # signed is materialized, so count() is cheap and the
+        # resolution is deterministic for a fixed input).
+        if flag is not None:
+            return flag
+        return signed.count() >= cfg.byte_opt_auto_threshold
+
     def build_candidates() -> DataFrame:
         slices = cfg.presplit_slices
         if slices == 0:
@@ -176,8 +186,7 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         pairs, bucket_stats = candidate_pairs(
             bands_df, cfg.max_bucket_size, cfg.salt_buckets,
             presplit_slices=slices,
-            min_band_matches=(cfg.min_band_matches
-                              if cfg.candidate_prefilter else 1))
+            min_band_matches=(cfg.min_band_matches if prefilter else 1))
         if collect_metrics:
             bs = bucket_stats.agg(
                 F.count(F.lit(1)).alias("n_buckets"),
@@ -198,8 +207,10 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     # AQE off.  Nothing in the candidates query needs AQE: its only
     # join carries an explicit broadcast hint and partition counts are
     # fixed; every other stage keeps AQE (skew-join, coalescing).
+    prefilter = _resolve_auto(cfg.candidate_prefilter)
+    metrics["candidate_prefilter"] = prefilter
     cands_conf = ({"spark.sql.adaptive.enabled": "false"}
-                  if cfg.candidate_prefilter and cfg.min_band_matches > 1
+                  if prefilter and cfg.min_band_matches > 1
                   else None)
     cands = stage("candidates", build_candidates, ["signatures"],
                   conf_overrides=cands_conf)
@@ -216,7 +227,10 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
             # checkpoint resume re-resolves identically.
             est = signed.count() < cfg.est_auto_threshold
         metrics["est_tier"] = bool(est)
-        return verify_pairs(cands, signed, cfg.with_(est_tier=est),
+        semi = _resolve_auto(cfg.verify_semi_filter)
+        metrics["verify_semi_filter"] = semi
+        return verify_pairs(cands, signed,
+                            cfg.with_(est_tier=est, verify_semi_filter=semi),
                             content=normalized.select("id", "norm_content"))
 
     verified = stage("verified", build_verified, ["candidates", "signatures"])

@@ -33,3 +33,23 @@ def test_verify_semi_filter_invariant(spark):
     plan_off = off.verified._jdf.queryExecution().toString()
     assert "LeftSemi" in plan_on
     assert "LeftSemi" not in plan_off
+
+
+def test_byte_opt_auto_resolution(spark):
+    """None (default) = auto by representative count: off below
+    byte_opt_auto_threshold, on at/above it, recorded in metrics,
+    output identical either way."""
+    params = CorpusParams(n_files=120, dup_frac=0.3, seed=37)
+    src = corpus_spark_df(spark, params)
+    cfg = default_config()
+    assert cfg.candidate_prefilter is None
+    assert cfg.verify_semi_filter is None
+    low = run_pipeline(spark, src, cfg)  # 120 reps << 500k -> off
+    assert low.metrics["candidate_prefilter"] is False
+    assert low.metrics["verify_semi_filter"] is False
+    forced = run_pipeline(spark, src, cfg.with_(byte_opt_auto_threshold=10))
+    assert forced.metrics["candidate_prefilter"] is True
+    assert forced.metrics["verify_semi_filter"] is True
+    a = {(r.id, r.cluster_id) for r in dedup_output(low).collect()}
+    b = {(r.id, r.cluster_id) for r in dedup_output(forced).collect()}
+    assert a == b
