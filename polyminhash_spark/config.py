@@ -105,6 +105,24 @@ class DedupConfig:
     # run_pipeline resolve None conservatively to True.
     est_tier: bool | None = None
     est_auto_threshold: int = 500_000
+    # Explicit repartition of (id, norm_content) before the signature
+    # mapInArrow node.  True = always (the historical default: 3x-
+    # oversubscribed round-robin amortizes content-length skew when the
+    # upstream scan yields FEW partitions).  False = never.  None
+    # (default) = AUTO: run_pipeline skips the repartition when the
+    # normalized frame already carries >= 2x defaultParallelism
+    # partitions — parquet scan splits are BYTE-balanced (bounded by
+    # spark.sql.files.maxPartitionBytes), which balances the
+    # byte-proportional kernel better than row-balanced round-robin,
+    # and skipping deletes the pipeline's single largest shuffle (the
+    # full-content pass: 1,055 MB of ~2.95 GB total at 1M files,
+    # BENCH/BASELINE.md r5 stage table).  When AUTO skips, the rep-id
+    # semi join side gets an explicit broadcast hint so the join cannot
+    # fall back to a content shuffle; the hint is gated on
+    # sig_broadcast_max_records (above it, a forced broadcast of the
+    # id set risks driver memory — the repartition path is kept).
+    sig_repartition: bool | None = None
+    sig_broadcast_max_records: int = 100_000_000
     simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
     jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
     top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)

@@ -17,7 +17,8 @@ from polyminhash_spark.functions.udfs import make_signature_arrow_map
 
 
 def add_signatures(normalized: DataFrame, cfg: DedupConfig,
-                   carry_cols: tuple = ("id",)) -> DataFrame:
+                   carry_cols: tuple = ("id",),
+                   repartition: bool = True) -> DataFrame:
     """normalized -> (carry_cols..., minhash32 array<int>, simhash
     bigint, n_shingles int, bands array<bigint>).
 
@@ -44,7 +45,14 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
       core count: AQE's coalescing targets shuffle-byte volume, which
       under-parallelizes CPU-heavy Python stages on small-byte inputs,
       and exactly-one-wave scheduling makes the slowest partition the
-      stage wall (content length is skewed) — 3 waves amortize it."""
+      stage wall (content length is skewed) — 3 waves amortize it.
+      `repartition=False` drops that exchange entirely: the caller
+      asserts the input already carries enough partitions (e.g. parquet
+      scan splits bounded by maxPartitionBytes, which are BYTE-balanced
+      — a stronger skew guarantee than row-balanced round-robin for a
+      byte-proportional kernel) and the full-content shuffle — the
+      pipeline's single largest (BENCH/BASELINE.md r5) — disappears.
+      run_pipeline resolves this per input via cfg.sig_repartition."""
     from pyspark.sql.types import (ArrayType, IntegerType, LongType,
                                    StructField, StructType)
 
@@ -65,6 +73,8 @@ def add_signatures(normalized: DataFrame, cfg: DedupConfig,
         StructField("bands", ArrayType(key_type)),
     ])
     mapper = make_signature_arrow_map(cfg, carry_cols=carry_cols)
+    if not repartition:
+        return narrow.mapInArrow(mapper, schema=out_schema)
     sc = normalized.sparkSession.sparkContext
     n_parts = max(cfg.shuffle_partitions, sc.defaultParallelism * 3)
     return narrow.repartition(n_parts).mapInArrow(mapper, schema=out_schema)

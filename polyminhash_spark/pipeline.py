@@ -147,10 +147,31 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
                     ["normalized"])
 
     def build_signatures() -> DataFrame:
-        reps = normalized.join(
-            rep_map.filter(F.col("id") == F.col("rep_id")).select("id"),
-            "id")
-        return add_signatures(reps, cfg)
+        rep_ids = rep_map.filter(F.col("id") == F.col("rep_id")).select("id")
+        # AUTO (cfg.sig_repartition=None): skip the pre-kernel content
+        # repartition — the pipeline's single largest shuffle, a full
+        # content pass (BENCH/BASELINE.md r5 stage table) — when the
+        # normalized frame already carries enough partitions.  Scan
+        # splits are byte-balanced (maxPartitionBytes-bounded), which
+        # balances the byte-proportional kernel better than the
+        # row-balanced round-robin it replaces.  normalized is already
+        # materialized (persisted or checkpoint parquet), so both the
+        # partition count and the row count are metadata-cheap.
+        rep = cfg.sig_repartition
+        if rep is None:
+            enough = (normalized.rdd.getNumPartitions()
+                      >= 2 * spark.sparkContext.defaultParallelism)
+            small_enough = (normalized.count()
+                            <= cfg.sig_broadcast_max_records)
+            rep = not (enough and small_enough)
+        metrics["sig_repartition"] = bool(rep)
+        if not rep:
+            # pin the semi join to broadcast: an SMJ fallback would
+            # re-introduce a full content shuffle on id, the exact
+            # bytes the skipped repartition saves
+            rep_ids = F.broadcast(rep_ids)
+        reps = normalized.join(rep_ids, "id")
+        return add_signatures(reps, cfg, repartition=rep)
 
     signed = stage("signatures", build_signatures, ["exact_groups"])
 

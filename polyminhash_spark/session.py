@@ -43,6 +43,17 @@ def build_session(app_name: str = "polyminhash",
         # timeout guards against deadlocked tiny builds, not against
         # long upstream compute; 2 h keeps the guard without the trap.
         .config("spark.sql.broadcastTimeout", "7200")
+        # finer scan splits (default 128m): the signature stage's AUTO
+        # repartition skip (config.sig_repartition) relies on the
+        # parquet scan itself yielding >= 2x cores partitions so the
+        # CPU-bound Python kernel parallelizes WITHOUT a full-content
+        # repartition shuffle (the pipeline's largest byte mass —
+        # BENCH/BASELINE.md r5).  Splits are byte-balanced, bounded by
+        # this value; corpus row groups are 4096 rows (~1-2 MB
+        # compressed), so 4m splits pack 2-3 groups per task.  The
+        # extra task-launch overhead on small scans is microseconds
+        # against a deleted gigabyte-scale exchange on large ones.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

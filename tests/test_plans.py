@@ -61,6 +61,45 @@ def test_signature_stage_explicit_parallelism(spark, parquet_src):
     assert "RoundRobinPartitioning" in plan and "REPARTITION_BY_NUM" in plan
 
 
+def test_signature_stage_repartition_skip(spark, parquet_src):
+    """repartition=False must remove the pre-kernel exchange entirely
+    (the full-content shuffle — the pipeline's largest byte mass at
+    scale) while producing bit-identical signatures: the kernel is a
+    pure per-row function, so partitioning cannot change its output."""
+    norm = normalize(parquet_src, CFG)
+    plan = _plan(add_signatures(norm, CFG, repartition=False))
+    assert "RoundRobinPartitioning" not in plan
+    assert "Exchange" not in plan  # scan feeds the Python node directly
+
+    with_rep = add_signatures(norm, CFG).orderBy("id").collect()
+    without = add_signatures(norm, CFG, repartition=False) \
+        .orderBy("id").collect()
+    assert with_rep == without
+
+
+def test_pipeline_sig_repartition_auto(spark, tmp_path):
+    """AUTO resolution end-to-end: a many-partition input skips the
+    repartition (metrics flag False), a few-partition input keeps it,
+    and cluster output is identical either way."""
+    from polyminhash_spark.pipeline import run_pipeline
+
+    p = str(tmp_path / "c.parquet")
+    corpus_spark_df(spark, CorpusParams(n_files=400, dup_frac=0.3, seed=11)) \
+        .write.mode("overwrite").parquet(p)
+    few = spark.read.parquet(p).coalesce(1)
+    many = spark.read.parquet(p).repartition(64)
+
+    r_few = run_pipeline(spark, few, CFG)
+    r_many = run_pipeline(spark, many, CFG)
+    assert r_few.metrics["sig_repartition"] is True
+    assert r_many.metrics["sig_repartition"] is False
+    a = sorted((r["id"], r["cluster_id"])
+               for r in r_few.clusters.collect())
+    b = sorted((r["id"], r["cluster_id"])
+               for r in r_many.clusters.collect())
+    assert a == b
+
+
 def test_candidates_no_window_in_cold_path(spark, parquet_src):
     """Without hot buckets, candidate generation must not sort the band
     table (the windowed cap only runs on the hot subset)."""
