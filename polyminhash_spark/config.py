@@ -69,6 +69,25 @@ class DedupConfig:
     # corpus sizes where the survivor set itself outgrows a broadcast
     # (~1e10+ dup pairs).
     candidate_prefilter: bool | None = None
+    # Cut SINGLETON (band, band_key) groups from the band table BEFORE
+    # the wide bucket aggregate (operators/candidates.py, r6 / r5
+    # verdict #5): an 8 B hash-count pass keeps only band keys seen
+    # >= 2 times and semi-joins the band table against them, so the
+    # collect_list shuffle carries only rows that can produce a pair
+    # (~15% of band rows at the bench corpus).  Output bit-identical
+    # (collision riders form size-1 groups and are dropped by the
+    # existing size filter).  Same AUTO rule and scale shape as
+    # candidate_prefilter; disable where the multi-bucket key set
+    # outgrows a broadcast (~1e9+ distinct colliding keys).
+    # Its AUTO threshold is LOWER than the other byte cuts': the
+    # singleton cut has no broadcast-build round trip on the critical
+    # path (the count pass shuffles 8 B hashes and its survivors are
+    # bucket KEYS, far fewer than pair survivors), and it already wins
+    # at the 100k bench corpus (r6 A/B: candidates stage 2.56 -> 1.77 s
+    # isolated; full pipeline ~1.5-2.5 s faster per run, clusters
+    # bit-identical).
+    candidate_singleton_prefilter: bool | None = None
+    singleton_auto_threshold: int = 50_000
     # Cut the content table to the verify survivors' ids with a
     # broadcast semi join before the tier-3 attach (operators/verify.py)
     # instead of shuffling every row's content into the join.  Same
@@ -98,13 +117,18 @@ class DedupConfig:
     # 412.8 vs ON 430.5 at 8c — and the 8c/32c asymmetry lifts
     # scaling efficiency 0.444 -> 0.552, BENCH/BASELINE.md r5).
     # None (default) = AUTO: run_pipeline resolves by representative
-    # count against est_auto_threshold.  The measured crossover lies
-    # between 300k and 2.6M; 500k sits inside it biased low because
-    # OFF's small-n penalty is mild (~10%) while ON's large-n penalty
-    # is 32% and grows with bytes.  Operators called outside
+    # count against est_auto_threshold.  Operators called outside
     # run_pipeline resolve None conservatively to True.
+    # r6 re-measurement: the r5 crossover (ON below ~300k) no longer
+    # holds — the r6 kernel/verify changes shrank exactly the work the
+    # est tier saves, and OFF now wins at the 100k bench corpus too
+    # (interleaved A/B: OFF 8.2-9.6 s vs ON 11.1-12.0 s per pipeline
+    # run, clusters bit-identical 85,716) while r5 already measured OFF
+    # winning at 1M and 2.6M.  50k keeps ON for genuinely small inputs
+    # — including the SQL-tractable mirror/oracle configs (~500 reps),
+    # whose DuckDB kernel mirror encodes the est cut.
     est_tier: bool | None = None
-    est_auto_threshold: int = 500_000
+    est_auto_threshold: int = 50_000
     # Explicit repartition of (id, norm_content) before the signature
     # mapInArrow node.  True = always (the historical default: 3x-
     # oversubscribed round-robin amortizes content-length skew when the
@@ -121,8 +145,16 @@ class DedupConfig:
     # fall back to a content shuffle; the hint is gated on
     # sig_broadcast_max_records (above it, a forced broadcast of the
     # id set risks driver memory — the repartition path is kept).
+    # Gate for the forced rep-id broadcast when the repartition is
+    # skipped — applied to BOTH the AUTO and the explicit
+    # sig_repartition=False paths (r6, r5-advice #1/#3), and counted
+    # over the rep-id SET (the relation actually broadcast), not the
+    # full row count.  20M binary(16) ids build a ~1.4 GB
+    # HashedRelation — comfortably inside the 8 GB broadcast hard cap
+    # and an 8g driver/executor heap; above it the repartition path is
+    # used instead of risking an OOM on a multi-GB forced broadcast.
     sig_repartition: bool | None = None
-    sig_broadcast_max_records: int = 100_000_000
+    sig_broadcast_max_records: int = 20_000_000
     simhash_hamming_max: int = 16     # secondary SimHash filter (of 64 bits)
     jaccard_threshold: float = 0.8    # exact set-Jaccard for a "duplicate" edge
     top_k: int = 10                   # neighbors kept per query (reference k, README.md:59)

@@ -293,10 +293,87 @@ def oph_minhash(shingles: np.ndarray, seeds_mixed: np.ndarray) -> np.ndarray:
     return sig
 
 
+def _oph_batch(concat: np.ndarray, starts: np.ndarray, sizes: np.ndarray,
+               seeds_mixed: np.ndarray) -> np.ndarray:
+    """Vectorized one-permutation MinHash over a BLOCK of rows —
+    bit-identical to calling oph_minhash per row (property-tested).
+
+    The per-row kernel pays ~15 small numpy calls per document; at
+    ~700 shingles/row that call overhead dominates the arithmetic
+    (measured 137 us/row at the 100k bench corpus).  This path runs
+    the same operations once per block: bucket/value for the whole
+    concatenated shingle array, one lexsort on (row*P + bucket, value)
+    for the per-(row,bucket) minima, and densification probing driven
+    by the SAME doc-independent (bin, t) probe sequence, advanced for
+    every still-empty (row, bin) pair of the block at once.  All
+    probes test the ORIGINAL occupancy mask and all borrowed values
+    are written afterwards, exactly like the per-row kernel."""
+    P = len(seeds_mixed)
+    m = len(sizes)
+    row_idx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+    b = (concat % U64(P)).astype(np.int64)
+    v = mix64(concat ^ seeds_mixed[b])
+    key = row_idx * P + b
+    # scatter-min per (row, bucket): identical result to sorting by key
+    # and taking the first value, ~40x cheaper than the lexsort
+    flat = np.full(m * P, EMPTY_SLOT, dtype=np.uint64)
+    np.minimum.at(flat, key, v)
+    sig = flat.reshape(m, P)
+    empty = sig == EMPTY_SLOT
+    ne = empty.sum(axis=1)
+    need = np.nonzero((ne > 0) & (ne < P))[0]
+    if need.size:
+        er, eb = np.nonzero(empty[need])
+        er = need[er]  # absolute block-row index per empty bin
+        src = np.full(er.size, -1, dtype=np.int64)
+        pending = np.arange(er.size)
+        t = 0
+        while pending.size and t < 8 * P:
+            tg = U64((t * _GOLDEN_INT) & _MASK64)
+            probe = (mix64(seeds_mixed[eb[pending]] ^ tg)
+                     % U64(P)).astype(np.int64)
+            hit = ~empty[er[pending], probe]
+            src[pending[hit]] = probe[hit]
+            pending = pending[~hit]
+            t += 1
+        if pending.size:  # astronomically unlikely: give up probing
+            fallback = np.argmax(~empty, axis=1)
+            src[pending] = fallback[er[pending]]
+        sig[er, eb] = mix64(sig[er, src] ^ seeds_mixed[eb])
+    return sig
+
+
+def _simhash_block(concat: np.ndarray, starts: np.ndarray,
+                   sizes: np.ndarray) -> np.ndarray:
+    """Per-row 64-bit SimHash over a block's concatenated shingles —
+    the same majority-vote arithmetic as the grouped loop, with the
+    bit matrix unpacked bytewise (np.unpackbits on the little-endian
+    uint64 view == ((x >> j) & 1) for j in 0..63) when the platform is
+    little-endian, falling back to the shift formulation otherwise."""
+    import sys
+
+    if sys.byteorder == "little":
+        bits = np.unpackbits(concat.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+    else:  # pragma: no cover - non-LE platforms
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((concat[:, None] >> shifts[None, :]) & U64(1)) \
+            .astype(np.uint8)
+    # int16 accumulation is exact for blocks <= 32767 shingles (the
+    # oph_block budget is 2^14) and twice as SIMD-dense as int64;
+    # 2*s >= n is tested as s >= ceil(n/2) so the sum is never doubled
+    sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int16)
+    shifts = np.arange(64, dtype=np.uint64)
+    maj = (sums >= ((sizes + 1) // 2)[:, None]).astype(np.uint64)
+    return (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64) \
+        .view(np.int64)
+
+
 def signature_batch(texts, k: int, unit: str, max_shingles: int,
                     seeds_mixed: np.ndarray, bands: int, rows_per_band: int,
                     shingle_budget: int = 1 << 11, impl: str = "perm",
-                    sh_list: list | None = None):
+                    sh_list: list | None = None,
+                    oph_block: int = 1 << 14):
     """Whole-Arrow-batch signature kernel: shingle every row, then
     process rows in groups whose concatenated shingle count fits the
     budget — ONE (total_shingles × num_perm) matrix per group with
@@ -317,8 +394,6 @@ def signature_batch(texts, k: int, unit: str, max_shingles: int,
     sig = np.full((n, P), EMPTY_SLOT, dtype=np.uint64)
     simh = np.zeros(n, dtype=np.int64)
     counts = np.zeros(n, dtype=np.int32)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = U64(1)
 
     if sh_list is None:
         sh_list = [shingles_for(t or "", k, unit, max_shingles) for t in texts]
@@ -335,17 +410,18 @@ def signature_batch(texts, k: int, unit: str, max_shingles: int,
             simh[i] = sv - (1 << 64) if sv >= (1 << 63) else sv
             sh_list[i] = np.empty(0, dtype=np.uint64)
 
-    if impl == "oph":
-        # one-pass kernel: per-row bucketed mins, no P-wide matrix
-        for i in range(n):
-            if sh_list[i].size:
-                sig[i] = oph_minhash(sh_list[i], seeds_mixed)
-
+    # block budget: the perm kernel's (shingles x P) matrix needs the
+    # small L2-resident budget; the oph path's largest temps are the
+    # 64-wide bit matrix and the flat lexsort keys, so it groups far
+    # more rows per block — fewer numpy dispatches per row (r6: the
+    # per-row oph loop + 2048-shingle simhash groups spent more time
+    # in call overhead than arithmetic; measured 2.6x on the kernel)
+    budget = oph_block if impl == "oph" else shingle_budget
     i = 0
     while i < n:
         rows, starts, tot = [], [], 0
         j = i
-        while j < n and (tot == 0 or tot + sh_list[j].size <= shingle_budget):
+        while j < n and (tot == 0 or tot + sh_list[j].size <= budget):
             if sh_list[j].size:
                 rows.append(j)
                 starts.append(tot)
@@ -356,16 +432,14 @@ def signature_batch(texts, k: int, unit: str, max_shingles: int,
             continue
         concat = np.concatenate([sh_list[r] for r in rows])
         starts_a = np.array(starts, dtype=np.int64)
-        if impl != "oph":
+        sizes = np.diff(np.append(starts_a, tot))
+        if impl == "oph":
+            sig[rows] = _oph_batch(concat, starts_a, sizes, seeds_mixed)
+        else:
             X = concat[:, None] ^ seeds_mixed[None, :]
             X *= muls[None, :]
             sig[rows] = np.minimum.reduceat(X, starts_a, axis=0)
-        bits = (concat[:, None] >> shifts[None, :]) & one
-        sums = np.add.reduceat(bits, starts_a, axis=0).astype(np.int64)
-        sizes = np.diff(np.append(starts_a, tot))
-        maj = (sums * 2 >= sizes[:, None]).astype(np.uint64)
-        packed = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        simh[rows] = packed.view(np.int64)
+        simh[rows] = _simhash_block(concat, starts_a, sizes)
 
     bkeys = band_keys_batch(sig, bands, rows_per_band)
     return sig, simh, counts, bkeys

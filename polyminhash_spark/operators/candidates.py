@@ -156,7 +156,8 @@ def _slice_expr(slices: int, packed: bool) -> str:
 
 def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
                     salt_buckets: int = 8, presplit_slices: int = 1,
-                    min_band_matches: int = 1
+                    min_band_matches: int = 1,
+                    singleton_prefilter: bool = False
                     ) -> tuple[DataFrame, DataFrame]:
     """bands_df (id, band, band_key) -> (pairs (id_a, id_b,
     n_shared_bands), bucket_stats (band, band_key, bucket_n, salted)).
@@ -209,10 +210,35 @@ def candidate_pairs(bands_df: DataFrame, max_bucket_size: int = 1000,
     pay the full-width shuffle instead."""
     packed = _is_binary_id(bands_df)
 
-    keys = ["band", "band_key"]
     src = bands_df
+    if singleton_prefilter:
+        # r6 (r5 verdict #5): most (band, band_key) groups are
+        # SINGLETONS that can never produce a pair yet cross the wide
+        # collect_list shuffle at full row width.  Same trick as the
+        # pair prefilter one level earlier: an 8 B xxhash64 count pass
+        # over band keys keeps only keys seen >= 2 times, and a
+        # broadcast semi join cuts the band table BEFORE the bucket
+        # aggregate.  Hash-collision riders (a singleton whose key hash
+        # collides with a real bucket's) survive the semi join, form
+        # their own size-1 group, and are dropped by the existing
+        # size >= 2 filter — collisions cost work, never output.  The
+        # key is (band, band_key) — never the pre-split slice — so a
+        # multi-member bucket keeps ALL its rows and the per-slice
+        # minima links stay intact.  The broadcast is explicit for the
+        # same cached-plan reason as the pair prefilter; disable
+        # (config.candidate_singleton_prefilter=False) for corpora
+        # where the multi-bucket key set outgrows a broadcast.
+        kh = F.xxhash64("band", "band_key")
+        multi = (bands_df.groupBy(kh.alias("kh"))
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .filter(F.col("c") >= 2)
+                 .select("kh"))
+        src = bands_df.join(F.broadcast(multi), kh == F.col("kh"),
+                            "leftsemi")
+
+    keys = ["band", "band_key"]
     if presplit_slices > 1:
-        src = bands_df.withColumn(
+        src = src.withColumn(
             "_slice", F.expr(_slice_expr(presplit_slices, packed)))
         keys = keys + ["_slice"]
     grouped = (src.groupBy(*keys)

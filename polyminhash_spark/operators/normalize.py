@@ -12,7 +12,7 @@ kernels.normalize_text (used by the oracle path).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from polyminhash_spark.config import DedupConfig
 
@@ -62,9 +62,22 @@ def normalize(df: DataFrame, cfg: DedupConfig) -> DataFrame:
             record_id().alias("id"),
             "repo", "path", "commit", "lang",
             F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
-            F.regexp_replace(
-                F.regexp_replace(F.col("content"), "^" + _BOM, ""),
-                "\r\n|\r", "\n",
+            # r6 (guide §1.2 per-task work): literal replace chain +
+            # leading-BOM strip instead of two regexp_replace passes —
+            # the regex engine walked every content byte through an NFA
+            # twice; replace() is a plain substring scan.  Equivalent by
+            # construction: '\r\n|\r' matches left-to-right with \r\n
+            # consumed before a lone \r, exactly what the two-step
+            # literal replace over the ORIGINAL string produces, and
+            # '^BOM' removes at most one leading BOM.  This is the same
+            # chain kernels.normalize_text (the oracle side) always used.
+            F.replace(
+                F.replace(
+                    F.when(F.col("content").startswith(_BOM),
+                           F.expr("substring(content, 2)"))
+                     .otherwise(F.col("content")),
+                    F.lit("\r\n"), F.lit("\n")),
+                F.lit("\r"), F.lit("\n"),
             ).alias("norm_content"),
             F.length("content").alias("n_chars"),
         )
@@ -80,8 +93,20 @@ def exact_groups(normalized: DataFrame) -> DataFrame:
     files — overwhelmingly the hottest LSH buckets in a source-code
     corpus (vendored files, generated code) — are collapsed to one
     representative BEFORE MinHash, so no LSH bucket ever contains two
-    copies of the same content.  One groupBy + one join, both on
-    norm_sha (uniform by construction: it's a cryptographic hash)."""
-    reps = normalized.groupBy("norm_sha").agg(F.min("id").alias("rep_id"))
-    return normalized.select("id", "norm_sha").join(reps, "norm_sha") \
-                     .select("id", "rep_id")
+    copies of the same content.
+
+    Physical shape (r6, guide §2.3/§2.4): ONE window aggregate over
+    unhex(norm_sha) instead of groupBy(norm_sha) + join back.  The old
+    shape shuffled the rows into the aggregate AND (whenever the rep
+    side outgrew a broadcast — always, above ~800k reps) shuffled both
+    sides again for the join; the window computes min(id) per group in
+    the single exchange.  Keying on the 32-byte binary digest instead
+    of the 64-char hex string (injective, sha2 output is fixed-case
+    hex) halves the key bytes crossing that exchange.  Memory-safe on
+    mega-groups: WindowExec buffers one group at a time in a spillable
+    row array — no collect_list-style single-row blowup."""
+    key = F.unhex(F.col("norm_sha")).alias("k")
+    w = Window.partitionBy("k")
+    return (normalized.select("id", key)
+            .withColumn("rep_id", F.min("id").over(w))
+            .select("id", "rep_id"))

@@ -146,32 +146,41 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     rep_map = stage("exact_groups", lambda: exact_groups(normalized),
                     ["normalized"])
 
+    # AUTO (cfg.sig_repartition=None): skip the pre-kernel content
+    # repartition — the pipeline's single largest shuffle, a full
+    # content pass (BENCH/BASELINE.md r5 stage table) — when the
+    # normalized frame already carries enough partitions.  Scan
+    # splits are byte-balanced (maxPartitionBytes-bounded), which
+    # balances the byte-proportional kernel better than the
+    # row-balanced round-robin it replaces.  The broadcast gate counts
+    # the REP-ID SET (the relation actually broadcast — r5 advice: the
+    # full normalized count over-gated duplicate-heavy corpora, where
+    # the rep set is smallest and the broadcast cheapest) and guards
+    # the explicit sig_repartition=False path too: above the gate a
+    # forced broadcast of the id set risks driver/executor memory, so
+    # both paths fall back to the repartition shape.  Resolved BEFORE
+    # the stage() call so the decision is recorded on checkpoint-
+    # resumed runs as well (r5 advice #4).
+    _rep_ids = rep_map.filter(F.col("id") == F.col("rep_id")).select("id")
+    sig_rep = cfg.sig_repartition
+    if sig_rep is None:
+        enough = (normalized.rdd.getNumPartitions()
+                  >= 2 * spark.sparkContext.defaultParallelism)
+        sig_rep = not (enough and
+                       _rep_ids.count() <= cfg.sig_broadcast_max_records)
+    elif sig_rep is False and _rep_ids.count() > cfg.sig_broadcast_max_records:
+        sig_rep = True
+    metrics["sig_repartition"] = bool(sig_rep)
+
     def build_signatures() -> DataFrame:
-        rep_ids = rep_map.filter(F.col("id") == F.col("rep_id")).select("id")
-        # AUTO (cfg.sig_repartition=None): skip the pre-kernel content
-        # repartition — the pipeline's single largest shuffle, a full
-        # content pass (BENCH/BASELINE.md r5 stage table) — when the
-        # normalized frame already carries enough partitions.  Scan
-        # splits are byte-balanced (maxPartitionBytes-bounded), which
-        # balances the byte-proportional kernel better than the
-        # row-balanced round-robin it replaces.  normalized is already
-        # materialized (persisted or checkpoint parquet), so both the
-        # partition count and the row count are metadata-cheap.
-        rep = cfg.sig_repartition
-        if rep is None:
-            enough = (normalized.rdd.getNumPartitions()
-                      >= 2 * spark.sparkContext.defaultParallelism)
-            small_enough = (normalized.count()
-                            <= cfg.sig_broadcast_max_records)
-            rep = not (enough and small_enough)
-        metrics["sig_repartition"] = bool(rep)
-        if not rep:
+        rep_ids = _rep_ids
+        if not sig_rep:
             # pin the semi join to broadcast: an SMJ fallback would
             # re-introduce a full content shuffle on id, the exact
             # bytes the skipped repartition saves
             rep_ids = F.broadcast(rep_ids)
         reps = normalized.join(rep_ids, "id")
-        return add_signatures(reps, cfg, repartition=rep)
+        return add_signatures(reps, cfg, repartition=sig_rep)
 
     signed = stage("signatures", build_signatures, ["exact_groups"])
 
@@ -207,7 +216,8 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
         pairs, bucket_stats = candidate_pairs(
             bands_df, cfg.max_bucket_size, cfg.salt_buckets,
             presplit_slices=slices,
-            min_band_matches=(cfg.min_band_matches if prefilter else 1))
+            min_band_matches=(cfg.min_band_matches if prefilter else 1),
+            singleton_prefilter=singleton_pf)
         if collect_metrics:
             bs = bucket_stats.agg(
                 F.count(F.lit(1)).alias("n_buckets"),
@@ -230,6 +240,13 @@ def run_pipeline(spark: SparkSession, source: DataFrame, cfg: DedupConfig,
     # fixed; every other stage keeps AQE (skew-join, coalescing).
     prefilter = _resolve_auto(cfg.candidate_prefilter)
     metrics["candidate_prefilter"] = prefilter
+    # r6 (r5 verdict #5): singleton-bucket cut before the wide bucket
+    # aggregate — own (lower) AUTO threshold: it wins from the 100k
+    # bench corpus up (config.singleton_auto_threshold rationale)
+    singleton_pf = cfg.candidate_singleton_prefilter
+    if singleton_pf is None:
+        singleton_pf = signed.count() >= cfg.singleton_auto_threshold
+    metrics["candidate_singleton_prefilter"] = singleton_pf
     cands_conf = ({"spark.sql.adaptive.enabled": "false"}
                   if prefilter and cfg.min_band_matches > 1
                   else None)

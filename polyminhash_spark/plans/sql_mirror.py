@@ -103,7 +103,14 @@ class Dialect:
 
     def norm_text(self, t: str) -> str:
         if self.spark:
-            return f"regexp_replace({t}, '\\r\\n|\\r', '\\n')"
+            # literal replace chain == regexp_replace('\r\n|\r','\n'):
+            # both scan the ORIGINAL string left-to-right non-overlapping
+            # with \r\n consumed before a lone \r, and replacements never
+            # re-match across boundaries.  The regex engine pays per-char
+            # NFA stepping; replace() is a plain substring scan
+            # (r6 guide §1.2 per-task work; same chain the Python-side
+            # kernels.normalize_text always used).
+            return f"replace(replace({t}, '\\r\\n', '\\n'), '\\r', '\\n')"
         return f"regexp_replace({t}, '\r\n|\r', '\n', 'g')"
 
     def sha256hex(self, t: str) -> str:
@@ -141,6 +148,22 @@ def cte_perms(d: Dialect) -> str:
 
 
 def cte_minhash(d: Dialect) -> str:
+    if d.spark:
+        # Single-pass formulation (r6, guide §2.3 "aggregate before you
+        # shuffle"): the CROSS JOIN perms materializes P copies of every
+        # ghash row and groups P x rows by (doc_id, p); computing all P
+        # mins in ONE doc_id aggregate (seeds inlined as literals —
+        # identical arithmetic, (2*s+1) constant-folds) touches each row
+        # once, then stack() unpivots to the same (doc_id, p, mh) rows.
+        mins = ", ".join(
+            f"MIN(((2*{seed_for(p)}+1) * (h % {MOD}) + {seed_for(p)})"
+            f" % {MOD}) AS mh{p}"
+            for p in range(P))
+        stack_args = ", ".join(f"{p}, mh{p}" for p in range(P))
+        return (
+            f"mh AS (SELECT doc_id, stack({P}, {stack_args}) AS (p, mh) "
+            f"FROM (SELECT doc_id, {mins} FROM ghash GROUP BY doc_id) t)"
+        )
     return (
         "mh AS (SELECT doc_id, p, "
         f"MIN(((2*s+1) * (h % {MOD}) + s) % {MOD}) AS mh "
@@ -167,6 +190,36 @@ def cte_cands(d: Dialect) -> str:
 
 
 def cte_verify(d: Dialect) -> str:
+    if d.spark:
+        # r6 rewrite (guide §2.3/§3.1): intersect 60-bit gram HASHES
+        # (int64, from the already-computed ghash rows) instead of the
+        # 8-char gram strings.  The per-doc hash-array table is ~40x
+        # narrower than the string-array grams table, so BOTH attach
+        # joins stay broadcast (the old plan's second grams join fell
+        # back to SortMergeJoin, shuffling + sorting every pair's gram
+        # array — plans/r06/verify_before.txt), and array_intersect runs
+        # on primitive longs.  |distinct hashes| == |distinct grams| and
+        # hash-intersection == gram-intersection absent 60-bit
+        # collisions; verified bit-equal vs the string-side DuckDB
+        # oracle at sf0.001/0.01/0.1 (deterministic driver data).
+        # the per-doc hash-array build is INLINED twice rather than a
+        # nested CTE: a WITH inside the view body gets fresh CTE ids on
+        # every re-analysis, so downstream references (the bench's topk
+        # over the cached verify view) MISS the table cache and
+        # recompute the whole join (measured: topk 1.0 -> 3.0 s).  The
+        # two identical subqueries canonicalize to one broadcast
+        # exchange (ReusedExchange) anyway.
+        ghs = "(SELECT doc_id, collect_list(h) AS hs FROM ghash GROUP BY doc_id)"
+        return (
+            "verify AS (SELECT doc_a, doc_b, inter_n, "
+            "na + nb - inter_n AS union_n FROM ("
+            "SELECT c.doc_a, c.doc_b, "
+            "cast(size(array_intersect(ha.hs, hb.hs)) as bigint) AS inter_n, "
+            "cast(size(ha.hs) as bigint) AS na, "
+            "cast(size(hb.hs) as bigint) AS nb "
+            f"FROM cands c JOIN {ghs} ha ON ha.doc_id = c.doc_a "
+            f"JOIN {ghs} hb ON hb.doc_id = c.doc_b) t)"
+        )
     return (
         "verify AS (SELECT doc_a, doc_b, inter_n, "
         "na + nb - inter_n AS union_n FROM ("
@@ -335,19 +388,39 @@ def q_knn_directional(d: Dialect) -> str:
     """Query-set vs data-set k-NN (reference two-file entry shape):
     queries = docs with doc_id %% 3 = 0 probing the rest; candidates
     from shared band keys, exact-Jaccard verified, ranked per query."""
+    if d.spark:
+        # r6: same hash-array intersect shape as cte_verify (int64
+        # gram hashes, broadcastable narrow attach table) — see
+        # cte_verify for the equivalence argument.
+        verify_part = (
+            ", ghs AS (SELECT doc_id, collect_list(h) AS hs "
+            "FROM ghash GROUP BY doc_id)"
+            ", dverify AS (SELECT query_id, neighbor_id, inter_n, "
+            "na + nb - inter_n AS union_n FROM ("
+            "SELECT p.query_id, p.neighbor_id, "
+            "cast(size(array_intersect(ha.hs, hb.hs)) as bigint) AS inter_n, "
+            "cast(size(ha.hs) as bigint) AS na, "
+            "cast(size(hb.hs) as bigint) AS nb "
+            "FROM dpairs p JOIN ghs ha ON ha.doc_id = p.query_id "
+            "JOIN ghs hb ON hb.doc_id = p.neighbor_id) t)"
+        )
+    else:
+        verify_part = (
+            ", dverify AS (SELECT query_id, neighbor_id, inter_n, "
+            "na + nb - inter_n AS union_n FROM ("
+            "SELECT p.query_id, p.neighbor_id, "
+            f"cast({d.size(d.intersect('ga.gs', 'gb.gs'))} as bigint) AS inter_n, "
+            f"cast({d.size('ga.gs')} as bigint) AS na, "
+            f"cast({d.size('gb.gs')} as bigint) AS nb "
+            "FROM dpairs p JOIN grams ga ON ga.doc_id = p.query_id "
+            "JOIN grams gb ON gb.doc_id = p.neighbor_id) t)"
+        )
     return _with(*full_chain(d)[:6]) + (
         ", dpairs AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id "
         "FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key "
         "WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0 "
         "GROUP BY a.doc_id, b.doc_id)"
-        ", dverify AS (SELECT query_id, neighbor_id, inter_n, "
-        "na + nb - inter_n AS union_n FROM ("
-        "SELECT p.query_id, p.neighbor_id, "
-        f"cast({d.size(d.intersect('ga.gs', 'gb.gs'))} as bigint) AS inter_n, "
-        f"cast({d.size('ga.gs')} as bigint) AS na, "
-        f"cast({d.size('gb.gs')} as bigint) AS nb "
-        "FROM dpairs p JOIN grams ga ON ga.doc_id = p.query_id "
-        "JOIN grams gb ON gb.doc_id = p.neighbor_id) t)"
+        + verify_part +
         ", dranked AS (SELECT query_id, neighbor_id, "
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
         "cast(inter_n as double)/union_n DESC, neighbor_id ASC) AS rank "
@@ -504,14 +577,50 @@ def _plane_weights() -> list[list[int]]:
 
 def _dot(d: Dialect, a: str, b: str) -> str:
     if d.spark:
-        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
-                "cast(x as double) * cast(y as double)), cast(0 as double), "
-                "(s, v) -> s + v)")
+        # r6: explicit 64-term sum instead of aggregate(zip_with(...)).
+        # Higher-order functions are interpreted per element (no
+        # whole-stage codegen inside the lambda); the unrolled sum
+        # compiles into the stage.  Bit-identical: the fold computes
+        # ((0 + t0) + t1)... and 0 + t0 == t0 in IEEE754 (a -0.0 vs
+        # +0.0 difference cannot survive the floor()->bigint cut every
+        # consumer applies), so the left-associated explicit sum
+        # produces the same double.
+        return " + ".join(
+            f"cast({a}[{j}] as double) * cast({b}[{j}] as double)"
+            for j in range(EMB_DIM))
     return f"list_dot_product(cast({a} as double[]), cast({b} as double[]))"
 
 
 def q_embedding_topk(d: Dialect) -> str:
     dot = _dot(d, "q.embedding", "c.embedding")
+    if d.spark:
+        # r6: hoist the per-vector norm out of the pair loop — the old
+        # shape recomputed sqrt(dot(v,v)) for both endpoints of every
+        # pair (3 dot products/pair); norms are a pure per-vector
+        # function, so one tiny CTE computes them once and the pair
+        # stage does ONE dot.  sqrt(nq)*sqrt(nc) on the same doubles is
+        # the same product — floored sims bit-identical (oracle-gated).
+        nv = _dot(d, "embedding", "embedding")
+        # REPARTITION hint on the probe side: the query subset lands in
+        # ONE scan partition, and BroadcastNestedLoopJoin (non-equi
+        # join, no codegen) would evaluate every pair dot in a single
+        # task; spreading the 120 probe rows parallelizes the whole
+        # pair stage (this is the intentional brute-force oracle — the
+        # hint only sets its parallelism, not its algorithm).
+        return (
+            "WITH nrm AS (SELECT vec_id, embedding, "
+            f"sqrt({nv}) AS nv FROM embeddings), "
+            "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"cast(floor(({dot}) / (q.nv * c.nv) * 1000000) as bigint) AS sim_x1m "
+            "FROM (SELECT /*+ REPARTITION(64) */ * FROM nrm "
+            f"WHERE vec_id < {EMB_QUERIES}) q "
+            "JOIN nrm c ON q.vec_id != c.vec_id), "
+            "ranked AS (SELECT query_id, neighbor_id, sim_x1m, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY sim_x1m DESC, neighbor_id ASC) AS rank FROM sims) "
+            f"SELECT query_id, neighbor_id, sim_x1m, cast(rank as bigint) AS rank "
+            f"FROM ranked WHERE rank <= {EMB_K}"
+        )
     nq = _dot(d, "q.embedding", "q.embedding")
     nc = _dot(d, "c.embedding", "c.embedding")
     return (

@@ -413,14 +413,17 @@ def test_stream_vs_stream_dedup_with_growable_index(spark, tmp_path):
     expected3 = expected + [("u1", "u1b")]
     assert dup_paths() == sorted(expected3)
 
-    before = {r.path for r in idx.select("path").collect()}
+    # r6: the index is NARROW (INDEX_COLUMNS, no path/content) — row
+    # identity across compaction is checked by id
+    before = {bytes(r.id) for r in idx.select("id").collect()}
     n = compact_index(spark, index, upto_batch_id=1)
     assert n == 6
     idx2 = spark.read.parquet(index)
     assert idx2.count() == 7
     assert set(r.batch_id for r in
                idx2.select("batch_id").distinct().collect()) == {1, 2}
-    assert {r.path for r in idx2.filter("batch_id = 1").collect()} == before
+    assert {bytes(r.id)
+            for r in idx2.filter("batch_id = 1").collect()} == before
     handle(b3, 2)   # replay of newest batch reads batch_id < 2 = the
     assert dup_paths() == sorted(expected3)  # consolidated partition
 
