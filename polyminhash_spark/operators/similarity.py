@@ -23,14 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def _dot(a: str, b: str) -> F.Column:
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0 as double), (s, v) -> s + v)")
+def _dot(a: str, b: str, dim: int | None = None) -> F.Column:
+    return F.expr(_dot_sql(a, b, dim))
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col)))
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col, dim)))
 
 
 def brute_force_cosine_topk(queries: DataFrame, data: DataFrame, k: int,
@@ -74,19 +73,45 @@ def add_hyperplane_buckets(df: DataFrame, dim: int, n_planes: int = 8,
                            vec_col: str = "embedding") -> DataFrame:
     """-> + buckets array<bigint> of length n_tables (one OR-table per
     entry; each bucket = n_planes AND-bits)."""
+    # r6: unroll the plane dots into explicit scalar-literal sums (the
+    # zip_with lambda is interpreted per element; cast(x)*cast(±1) is
+    # the identical arithmetic) — but only while the TOTAL term count
+    # stays modest: one unrolled term is ~8 expression-tree nodes, and
+    # the 32-table oracle-parity config (32x4x64 = 8k terms, ~65k
+    # nodes in one Project) drove the optimizer/codegen to a heap OOM.
+    # The production default (8 planes x 4 tables = 2048 terms)
+    # unrolls — measured compiling fine — while 4096 terms already
+    # OOMed an 8g driver; anything bigger keeps the compact
+    # higher-order form.
+    unroll = n_tables * n_planes * dim <= 2048
     table_exprs = []
     for t in range(n_tables):
         planes = plane_weights(n_planes, dim, seed + t * 1000)
         bits = []
         for p, w in enumerate(planes):
-            lit = "array(" + ",".join(str(x) for x in w) + ")"
-            bits.append(f"(CASE WHEN {_dot_sql(vec_col, lit)} >= 0 "
+            if unroll:
+                dot = " + ".join(
+                    f"cast({vec_col}[{j}] as double) * cast({w[j]} as double)"
+                    for j in range(dim))
+            else:
+                lit = "array(" + ",".join(str(x) for x in w) + ")"
+                dot = _dot_sql(vec_col, lit)
+            bits.append(f"(CASE WHEN {dot} >= 0 "
                         f"THEN {1 << p} ELSE 0 END)")
         table_exprs.append("cast(" + " + ".join(bits) + " as bigint)")
     return df.withColumn("buckets", F.expr("array(" + ",".join(table_exprs) + ")"))
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Dot product; with `dim` known, an unrolled explicit sum (r6):
+    higher-order-function lambdas are interpreted per element, the
+    unrolled sum whole-stage-codegens.  Bit-identical — the fold
+    computes ((0 + t0) + t1)... and 0 + t0 == t0 in IEEE754 (only a
+    ±0.0 sign can differ, which no consumer's floor/compare observes)."""
+    if dim:
+        return " + ".join(
+            f"cast({a}[{j}] as double) * cast({b}[{j}] as double)"
+            for j in range(dim))
     return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
             "cast(y as double)), cast(0 as double), (s, v) -> s + v)")
 
@@ -119,14 +144,15 @@ def lsh_cosine_near_dup_pairs(data: DataFrame, threshold_x1m: int, dim: int,
     bands_df = with_b.select("id", F.posexplode("buckets").alias("band", "band_key"))
     pairs, _ = candidate_pairs(bands_df, max_bucket_size, salt_buckets)
 
-    vecs = with_norm(with_b.select("id", "v"), "v")
+    vecs = with_norm(with_b.select("id", "v"), "v", dim)
     a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                     F.col("_norm").alias("na"))
     b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                     F.col("_norm").alias("nb"))
     return (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
             .withColumn("sim_x1m",
-                        F.floor(_dot("va", "vb") / (F.col("na") * F.col("nb"))
+                        F.floor(_dot("va", "vb", dim)
+                                / (F.col("na") * F.col("nb"))
                                 * F.lit(1_000_000)).cast("bigint"))
             .filter(F.col("sim_x1m") >= threshold_x1m)
             .select(F.col("id_a").alias("vec_a"),
@@ -149,13 +175,14 @@ def lsh_cosine_topk(data: DataFrame, k: int, dim: int, n_planes: int = 8,
     bands_df = with_b.select("id", F.posexplode("buckets").alias("band", "band_key"))
     pairs, _ = candidate_pairs(bands_df, max_bucket_size)
 
-    vecs = with_norm(with_b.select("id", "v"), "v")
+    vecs = with_norm(with_b.select("id", "v"), "v", dim)
     a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                     F.col("_norm").alias("na"))
     b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                     F.col("_norm").alias("nb"))
     sims = (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb"))))
+            .withColumn("cosine",
+                        _dot("va", "vb", dim) / (F.col("na") * F.col("nb"))))
     sym = sims.select(F.col("id_a").alias("query_id"),
                       F.col("id_b").alias("neighbor_id"), "cosine") \
         .unionByName(sims.select(F.col("id_b").alias("query_id"),
