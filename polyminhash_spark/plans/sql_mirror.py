@@ -210,10 +210,16 @@ def cte_verify(d: Dialect) -> str:
         # two identical subqueries canonicalize to one broadcast
         # exchange (ReusedExchange) anyway.
         ghs = "(SELECT doc_id, collect_list(h) AS hs FROM ghash GROUP BY doc_id)"
+        # BROADCAST hint pinned: the per-doc hash-array table is narrow
+        # (~2 KB/doc) and must broadcast into the pair stream on BOTH
+        # attaches — without the hint the second attach planned as a
+        # SortMergeJoin in the initial plan and relied on AQE's runtime
+        # conversion (the same unpinned-broadcast trap the pipeline's
+        # joins avoid by hinting).
         return (
             "verify AS (SELECT doc_a, doc_b, inter_n, "
             "na + nb - inter_n AS union_n FROM ("
-            "SELECT c.doc_a, c.doc_b, "
+            "SELECT /*+ BROADCAST(ha), BROADCAST(hb) */ c.doc_a, c.doc_b, "
             "cast(size(array_intersect(ha.hs, hb.hs)) as bigint) AS inter_n, "
             "cast(size(ha.hs) as bigint) AS na, "
             "cast(size(hb.hs) as bigint) AS nb "
@@ -397,7 +403,8 @@ def q_knn_directional(d: Dialect) -> str:
             "FROM ghash GROUP BY doc_id)"
             ", dverify AS (SELECT query_id, neighbor_id, inter_n, "
             "na + nb - inter_n AS union_n FROM ("
-            "SELECT p.query_id, p.neighbor_id, "
+            "SELECT /*+ BROADCAST(ha), BROADCAST(hb) */ "
+            "p.query_id, p.neighbor_id, "
             "cast(size(array_intersect(ha.hs, hb.hs)) as bigint) AS inter_n, "
             "cast(size(ha.hs) as bigint) AS na, "
             "cast(size(hb.hs) as bigint) AS nb "
