@@ -359,10 +359,13 @@ def _simhash_block(concat: np.ndarray, starts: np.ndarray,
         shifts = np.arange(64, dtype=np.uint64)
         bits = ((concat[:, None] >> shifts[None, :]) & U64(1)) \
             .astype(np.uint8)
-    # int16 accumulation is exact for blocks <= 32767 shingles (the
-    # oph_block budget is 2^14) and twice as SIMD-dense as int64;
-    # 2*s >= n is tested as s >= ceil(n/2) so the sum is never doubled
-    sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int16)
+    # int16 accumulation is exact for rows <= 32767 shingles (the
+    # oph_block budget is 2^14) and twice as SIMD-dense as int64 —
+    # with a size-driven fallback so an oversized caller-supplied
+    # budget can never overflow silently; 2*s >= n is tested as
+    # s >= ceil(n/2) so the sum is never doubled
+    dt = np.int16 if (len(sizes) == 0 or sizes.max() <= 32767) else np.int64
+    sums = np.add.reduceat(bits, starts, axis=0, dtype=dt)
     shifts = np.arange(64, dtype=np.uint64)
     maj = (sums >= ((sizes + 1) // 2)[:, None]).astype(np.uint64)
     return (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64) \
