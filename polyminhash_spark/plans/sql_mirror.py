@@ -798,6 +798,26 @@ def q_embedding_near_dup(d: Dialect) -> str:
     the dedup operator set.  Integer-floored threshold so both engines
     apply the identical cut."""
     dot = _dot(d, "a.embedding", "b.embedding")
+    if d.spark:
+        # r6 follow-up: the threshold predicate is pushed into the
+        # BroadcastNestedLoopJoin condition, and with all three unrolled
+        # 64-term dots inlined there the generated doConsume exceeded
+        # the JVM's 64 KB method cap — Spark fell back to interpreted
+        # execution for the whole pair stage.  Hoisting the per-vector
+        # norms (same nrm shape as q_embedding_topk; sqrt(na)*sqrt(nb)
+        # on the same doubles is the same product, oracle-gated
+        # bit-identical) leaves ONE dot in the condition, which
+        # compiles.
+        nv = _dot(d, "embedding", "embedding")
+        return (
+            "WITH nrm AS (SELECT vec_id, embedding, "
+            f"sqrt({nv}) AS nv FROM embeddings) "
+            "SELECT vec_a, vec_b, sim_x1m FROM ("
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            f"cast(floor(({dot}) / (a.nv * b.nv) * 1000000) as bigint) AS sim_x1m "
+            "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t "
+            f"WHERE sim_x1m >= {EMB_NEAR_DUP_X1M}"
+        )
     na = _dot(d, "a.embedding", "a.embedding")
     nb = _dot(d, "b.embedding", "b.embedding")
     return (
